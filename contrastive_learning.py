@@ -1,0 +1,243 @@
+#!/usr/bin/env python
+"""SimCLR-with-saccades pretraining driver (TPU-native).
+
+Entry-point rebuild of reference ``Contrastive_Learning.py`` (945 LoC): same
+CLI (``python contrastive_learning.py DATA --arch ResNet50 -b 256 -f 10 …``),
+same epoch/validate/checkpoint/logging structure — but the per-batch work is
+one jitted ``lax.scan`` over fixations on a device mesh instead of the
+host-driven DALI↔torch↔NCCL ping-pong (see
+:mod:`multimodal_active_ai_tpu.train.simclr_train`).
+
+Batch-size semantics: ``-b`` is the per-data-shard batch (the reference's
+per-rank batch); the global batch is ``b × data-axis size`` and the NT-Xent
+negatives span the global batch via the on-ICI all-gather, exactly as the
+reference's cross-replica concat (``SimCLR/Objective.py:102-114``).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+from time import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from multimodal_active_ai_tpu.config import ContrastiveConfig, parse_into
+from multimodal_active_ai_tpu.data import (
+    HostLoader,
+    SyntheticReader,
+    list_coco_images,
+    list_image_folder,
+)
+from multimodal_active_ai_tpu.models import SimCLRModule
+from multimodal_active_ai_tpu.ops import retina
+from multimodal_active_ai_tpu.parallel.mesh import (
+    DATA_AXIS,
+    create_mesh,
+    initialize_distributed,
+)
+from multimodal_active_ai_tpu.train import optimizers, schedule, simclr_train
+from multimodal_active_ai_tpu.utils import checkpoint as ckpt
+from multimodal_active_ai_tpu.utils.meters import AverageMeter, perf_line, speed_line
+
+
+def build_reader(cfg: ContrastiveConfig, split: str, shard_id: int, num_shards: int):
+    """Reader pipes (pipe1/pipe3 equivalents, ``Contrastive_Learning.py:289-409``)."""
+    if cfg.dataset == "synthetic":
+        n = cfg.num_examples or 64 * cfg.batch_size
+        if split != "train":
+            n = max(n // 10, cfg.batch_size)
+        return SyntheticReader(cfg.batch_size, cfg.canvas_size, num_examples=n,
+                               seed=cfg.seed + (0 if split == "train" else 1))
+    if cfg.dataset == "mscoco":
+        sub = "train2014" if split == "train" else "val2014"
+        file_root = os.path.join(cfg.data, "MSCOCO", "cocoapi", "images", sub)
+        ann = os.path.join(cfg.data, "MSCOCO", "cocoapi", "annotations",
+                           f"instances_{sub}.json")
+        if not os.path.isdir(file_root):
+            file_root = cfg.data
+            ann = None
+        files = list_coco_images(file_root, ann)
+        labels = None
+    else:  # imagenet
+        sub = "train" if split == "train" else "val"
+        file_root = os.path.join(cfg.data, "ImageNet", "ILSVRC", "Data", "CLS-LOC", sub)
+        if not os.path.isdir(file_root):
+            file_root = os.path.join(cfg.data, sub) if os.path.isdir(
+                os.path.join(cfg.data, sub)) else cfg.data
+        files, labels, _ = list_image_folder(file_root)
+    return HostLoader(files, labels, batch_size=cfg.batch_size,
+                      canvas_size=cfg.canvas_size, shard_id=shard_id,
+                      num_shards=num_shards, seed=cfg.seed,
+                      num_threads=cfg.workers)
+
+
+def main(argv=None):
+    cfg = parse_into(ContrastiveConfig, argv, prog="Contrastive_Learning")
+    if not cfg.data and cfg.dataset != "synthetic":
+        raise Exception("error: No data set provided")
+
+    initialize_distributed(verbose=cfg.verbose)
+    mesh = create_mesh()
+    n_data = mesh.shape[DATA_AXIS]
+    global_batch = cfg.batch_size * n_data
+    proc_shard, num_proc_shards = jax.process_index(), jax.process_count()
+    if cfg.verbose:
+        print(f"mesh: {dict(mesh.shape)}, global batch {global_batch}, "
+              f"process {proc_shard}/{num_proc_shards}")
+
+    retina_cfg = retina.RetinaConfig(
+        canvas_size=cfg.canvas_size,
+        color_aug_prob=cfg.color_augmentation,
+        grid_mask_prob=cfg.grid_mask_augmentation,
+        gaussian_noise_prob=cfg.gaussian_noise_augmentation,
+        brightness=cfg.brightness, contrast=cfg.contrast, hue=cfg.hue,
+        saturation=cfg.saturation)
+
+    dtype = jnp.bfloat16 if cfg.bf16 else jnp.float32
+    model = SimCLRModule(arch=cfg.arch, axis_name=DATA_AXIS,
+                         norm_kind="sync_bn", dtype=dtype)
+
+    # readers (pipe1 = train, pipe3 = val); this process loads its hosts' shard
+    train_reader = build_reader(cfg, "train", proc_shard, num_proc_shards)
+    val_reader = build_reader(cfg, "val", proc_shard, num_proc_shards)
+    num_examples = getattr(train_reader, "shard_size", None) or (
+        train_reader.num_examples if hasattr(train_reader, "num_examples")
+        else len(train_reader) * cfg.batch_size)
+
+    sched = schedule.simclr_learning_rate(
+        cfg.lr, global_batch, num_examples=num_examples,
+        batch_size=cfg.batch_size, warmup_epochs=cfg.warmup_epochs,
+        train_epochs=cfg.epochs, scaling=cfg.lrs)
+    tx = optimizers.get_optimizer(cfg.optimizer, sched, cfg.momentum,
+                                  cfg.weight_decay)
+
+    rng = jax.random.PRNGKey(cfg.seed)
+    sample = jnp.ones((2, retina_cfg.glimpse_size, retina_cfg.glimpse_size,
+                       retina_cfg.num_channels))
+    state = simclr_train.create_train_state(model, tx, rng, sample)
+
+    train_step = simclr_train.make_train_step(
+        model, mesh, retina_cfg, cfg.num_fixations, cfg.temperature)
+    eval_step = simclr_train.make_eval_step(model, mesh, retina_cfg, cfg.temperature)
+    batch_sharding = NamedSharding(mesh, P(DATA_AXIS))
+
+    best_prec1 = 0.0
+    total_time = AverageMeter()
+    loss_history: list = []
+    top1_acc_history: list = []
+    top5_acc_history: list = []
+    start_epoch = cfg.start_epoch
+
+    ckpt_file = os.path.join(cfg.checkpoint_dir, "checkpoint.msgpack")
+    best_file = os.path.join(cfg.checkpoint_dir, "model_best.msgpack")
+
+    if cfg.resume:
+        if os.path.isfile(cfg.resume):
+            print(f"=> loading checkpoint '{cfg.resume}'")
+            payload = ckpt.load_checkpoint(cfg.resume)
+            state = state.replace(
+                params=ckpt.restore_like(state.params, payload["state_dict"]["params"]),
+                batch_stats=ckpt.restore_like(state.batch_stats,
+                                              payload["state_dict"]["batch_stats"]),
+                opt_state=ckpt.restore_like(state.opt_state, payload["optimizer"]),
+                step=int(payload["step"]))
+            start_epoch = int(payload["epoch"])
+            best_prec1 = float(payload["best_prec1"])
+            loss_history = list(np.atleast_1d(payload["loss_history"]))
+            top1_acc_history = list(np.atleast_1d(payload["top1_acc_history"]))
+            top5_acc_history = list(np.atleast_1d(payload["top5_acc_history"]))
+            total_time.load_state_dict(payload["total_time"])
+            print(f"=> loaded checkpoint '{cfg.resume}' (epoch {start_epoch})")
+            print(f"Model best precision saved was {best_prec1}")
+        else:
+            print(f"=> no checkpoint found at '{cfg.resume}'")
+
+    if cfg.plot_training_history:
+        # fixed rebuild of the reference's broken plot path
+        # (Model_Util.plot_training_stats vs plot_features_stats name bug)
+        print("loss_history:", loss_history)
+        print("top1_acc_history:", top1_acc_history)
+        print("top5_acc_history:", top5_acc_history)
+        hours = int(total_time.sum / 3600)
+        minutes = int((total_time.sum % 3600) / 60)
+        seconds = int((total_time.sum % 3600) % 60)
+        print(f"The total training time was {hours} hours {minutes} minutes "
+              f"and {seconds} seconds")
+        return
+
+    def put(images):
+        if isinstance(images, np.ndarray):
+            return jax.device_put(images, batch_sharding)
+        return images  # synthetic reader already yields device arrays
+
+    for epoch in range(start_epoch, cfg.epochs):
+        # ---- train (reference train(), Contrastive_Learning.py:577-740) ----
+        batch_time = AverageMeter()
+        losses = AverageMeter()
+        nbatches = len(train_reader)
+        end = time()
+        epoch_key = jax.random.fold_in(rng, epoch)
+        last_loss = None
+        for i, (images, _labels) in enumerate(iter(train_reader)):
+            state, metrics = train_step(state, put(images),
+                                        jax.random.fold_in(epoch_key, i))
+            last_loss = metrics["losses"]
+            if cfg.test and i > 10:
+                break
+            if i % cfg.print_freq == 0:
+                loss_val = float(jax.device_get(last_loss)[-1])
+                losses.update(loss_val, cfg.batch_size)
+                jax.block_until_ready(state.params)
+                batch_time.update((time() - end) / cfg.print_freq)
+                end = time()
+                if jax.process_index() == 0:
+                    print(speed_line(epoch, i, nbatches, batch_time, losses,
+                                     global_batch))
+        loss_history.append(losses.avg)
+        total_time.update(batch_time.avg)
+        train_reader.reset()
+        if cfg.test:
+            break
+
+        # ---- validate (reference validate(), :751-904) ----
+        top1 = AverageMeter()
+        top5 = AverageMeter()
+        for i, (images, _labels) in enumerate(iter(val_reader)):
+            m = eval_step(state, put(images), jax.random.fold_in(epoch_key, 10_000 + i))
+            m = jax.device_get(m)
+            top1.update(float(m["top1"]), cfg.batch_size)
+            top5.update(float(m["top5"]), cfg.batch_size)
+        val_reader.reset()
+        prec1, prec5 = top1.avg, top5.avg
+        top1_acc_history.append(prec1)
+        top5_acc_history.append(prec5)
+
+        if jax.process_index() == 0:
+            print(f"From validation we have prec1 is {prec1} while best_prec1 "
+                  f"is {best_prec1}")
+            is_best = prec1 > best_prec1
+            best_prec1 = max(prec1, best_prec1)
+            ckpt.save_checkpoint({
+                "epoch": epoch + 1,
+                "step": int(state.step),
+                "state_dict": {"params": jax.device_get(state.params),
+                               "batch_stats": jax.device_get(state.batch_stats)},
+                "best_prec1": best_prec1,
+                "optimizer": jax.device_get(state.opt_state),
+                "loss_history": np.asarray(loss_history, np.float64),
+                "top1_acc_history": np.asarray(top1_acc_history, np.float64),
+                "top5_acc_history": np.asarray(top5_acc_history, np.float64),
+                "total_time": total_time.state_dict(),
+            }, is_best, filename=ckpt_file, best_filename=best_file)
+            print(perf_line(prec1, prec5, best_prec1, global_batch, total_time.avg))
+
+    return state
+
+
+if __name__ == "__main__":
+    main()

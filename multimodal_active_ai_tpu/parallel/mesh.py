@@ -1,0 +1,92 @@
+"""Device-mesh bootstrap: the TPU-native replacement of the reference's L0 layer.
+
+The reference bootstraps a cluster with MPI rank discovery + a MASTER_ADDR
+broadcast and NCCL process groups (``Contrastive_Learning.py:62-93,198-225``).
+On TPU the same capability is `jax.distributed.initialize()` plus a
+`jax.sharding.Mesh`; collectives are inserted by XLA from sharding
+annotations and ride ICI (intra-slice) / DCN (multi-slice). Control-plane
+scalar broadcasts (the reference MPI-bcasts RNG draws,
+``DQN/Training.py:22-28``) are unnecessary: every host folds the same seeded
+PRNG key, so stochastic decisions agree by construction.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+# Axis names used across the framework. Data parallelism is the only strategy
+# the reference implements (SURVEY §2.4); the model axis exists so larger
+# encoders can be tensor-sharded without API change.
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def initialize_distributed(coordinator_address: str | None = None,
+                           num_processes: int | None = None,
+                           process_id: int | None = None,
+                           verbose: bool = False) -> None:
+    """Multi-host bootstrap; replaces the MPI block at ``Contrastive_Learning.py:62-93``.
+
+    Single-process runs (the common case in tests and on one TPU VM) are a
+    no-op, mirroring the reference's graceful single-process fallback
+    (``Contrastive_Learning.py:87-93``).
+    """
+    n = num_processes
+    if n is None:
+        n = int(os.environ.get("MAAI_NUM_PROCESSES", "1"))
+    if n <= 1:
+        if verbose:
+            print("single-process run; skipping jax.distributed.initialize")
+        return
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    if verbose:
+        print(f"distributed initialized: process {jax.process_index()} of "
+              f"{jax.process_count()}, {jax.local_device_count()} local devices")
+
+
+def create_mesh(data: int | None = None, model: int = 1,
+                devices: Sequence[jax.Device] | None = None) -> Mesh:
+    """Build a ('data', 'model') mesh over the available devices.
+
+    ``data=None`` uses all devices not claimed by the model axis. The flat
+    device order follows ``jax.devices()`` so the data axis maps onto ICI
+    neighbours first (XLA's default device order is ICI-contiguous).
+    """
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    if data is None:
+        if n % model != 0:
+            raise ValueError(f"{n} devices not divisible by model={model}")
+        data = n // model
+    if data * model != n:
+        devices = devices[: data * model]
+    dev_array = np.asarray(devices).reshape(data, model)
+    return Mesh(dev_array, (DATA_AXIS, MODEL_AXIS))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Sharding for a batch-leading array: batch split over the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def local_batch_slice(global_batch: int, mesh: Mesh) -> int:
+    """Per-data-shard batch size; replaces DALI's shard bookkeeping
+    (``NVIDIA_DALI_Pipelines.py:647-657``) for device-level sharding."""
+    n_data = mesh.shape[DATA_AXIS]
+    if global_batch % n_data != 0:
+        raise ValueError(
+            f"global batch {global_batch} not divisible by data axis {n_data}")
+    return global_batch // n_data

@@ -1,0 +1,172 @@
+"""DETR classifier fine-tuning: glimpse-sequence collection + train/eval steps.
+
+Rebuild of reference ``DETR_Image_Classification.py:538-763``: per batch, a
+random number of fixations ``num_fixs ∈ [1, F]`` is drawn, glimpses are
+collected at random saccade coordinates through the labeled retina, and the
+DETR head is trained with AdamW under separate backbone/head learning rates
+(``:385-394``), StepLR drop (``:395``) and global-norm gradient clipping
+(``:607-608``). Validation averages logits over queries (``:725``).
+
+TPU-native: the variable-length saccade sequence becomes a static ``F`` with
+a pad mask (jit-compatible NestedTensor), collection + forward + backward is
+one jitted step, and the frozen backbone layers are frozen through an
+``optax.multi_transform`` zero-update partition instead of
+``requires_grad_(False)`` (``backbone.py:78-80``).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import PartitionSpec as P
+
+from multimodal_active_ai_tpu.ops import retina
+from multimodal_active_ai_tpu.parallel.mesh import DATA_AXIS
+from multimodal_active_ai_tpu.train.simclr_train import TrainState
+from multimodal_active_ai_tpu.utils.metrics import top_k_accuracy
+
+
+def detr_param_labels(params: dict) -> dict:
+    """Partition params: 'head' (transformer & projections, lr), 'backbone'
+    (layer2-4 of the encoder, lr_backbone), 'frozen' (stem + layer1, no
+    grad) — the ``BackboneBase`` freezing rule (``backbone.py:78-80``) plus
+    the AdamW param groups (``DETR_Image_Classification.py:385-394``)."""
+
+    def label(path, _leaf):
+        keys = [getattr(p, "key", str(p)) for p in path]
+        if keys and keys[0] == "backbone_f":
+            if any(str(k).startswith(("layer2", "layer3", "layer4")) for k in keys):
+                return "backbone"
+            return "frozen"
+        return "head"
+
+    return jax.tree_util.tree_map_with_path(label, params)
+
+
+def make_detr_optimizer(params, lr, lr_backbone, weight_decay, clip_max_norm,
+                        lr_drop_epochs: int, steps_per_epoch: int):
+    """AdamW param groups + StepLR(γ=0.1 @ lr_drop) + grad clip."""
+
+    def stepped(base):
+        def sched(step):
+            epoch = step // max(steps_per_epoch, 1)
+            return base * jnp.power(0.1, epoch // lr_drop_epochs)
+        return sched
+
+    labels = detr_param_labels(params)
+    tx = optax.multi_transform(
+        {
+            "head": optax.adamw(stepped(lr), weight_decay=weight_decay),
+            "backbone": optax.adamw(stepped(lr_backbone), weight_decay=weight_decay),
+            "frozen": optax.set_to_zero(),
+        },
+        labels)
+    if clip_max_norm and clip_max_norm > 0:
+        tx = optax.chain(optax.clip_by_global_norm(clip_max_norm), tx)
+    return tx
+
+
+def collect_glimpse_sequence(images, key, retina_cfg: retina.RetinaConfig,
+                             num_fixations: int, min_fixations: int = 1,
+                             saccades: jnp.ndarray | None = None):
+    """Collect ``F`` labeled glimpses at random (or given) saccade coords.
+
+    Equivalent of the collection loop ``DETR_Image_Classification.py:560-584``:
+    random ``num_fixs ∈ [min, F]`` becomes a pad mask over a static F.
+    Returns (glimpses (B,F,g,g,12), saccades (B,F,2), mask (B,F) True=pad).
+    """
+    batch = images.shape[0]
+    src = images.shape[1]
+    k_n, k_s = jax.random.split(key)
+    num_fixs = jax.random.randint(k_n, (), min_fixations, num_fixations + 1)
+    keys = jax.random.split(k_s, num_fixations)
+
+    def one(k):
+        if saccades is None:
+            fix_xy = jax.random.uniform(k, (batch, 2))
+        else:
+            fix_xy = saccades
+        # retina fixation is (y, x); saccade coords are stored (x, y)
+        p = retina.sample_labeled_params(k, batch, src, fix_yx=fix_xy[:, ::-1])
+        g = retina.apply_retina(images, p, k, retina_cfg, photometric=False)
+        return g, fix_xy
+
+    glimpses, sacc = jax.lax.map(one, keys)       # (F, B, ...), (F, B, 2)
+    glimpses = jnp.moveaxis(glimpses, 0, 1)       # (B, F, g, g, 12)
+    sacc = jnp.moveaxis(sacc, 0, 1)               # (B, F, 2)
+    mask = jnp.arange(num_fixations)[None, :] >= num_fixs
+    mask = jnp.broadcast_to(mask, (batch, num_fixations))
+    return glimpses, sacc, mask
+
+
+def make_detr_train_step(model, criterion, mesh,
+                         retina_cfg: retina.RetinaConfig, num_fixations: int,
+                         axis_name: str | None = DATA_AXIS):
+    """``train_classifier`` equivalent (``DETR_Image_Classification.py:538-654``)."""
+
+    def step(state: TrainState, images, labels, key):
+        if axis_name is not None:
+            key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
+        k_collect, k_drop = jax.random.split(key)
+        glimpses, saccades, mask = collect_glimpse_sequence(
+            images, k_collect, retina_cfg, num_fixations)
+        glimpses = jax.lax.stop_gradient(glimpses)
+
+        def loss_fn(params):
+            out = model.apply({"params": params,
+                               "batch_stats": state.batch_stats},
+                              glimpses, saccades, mask, train=True,
+                              rngs={"dropout": k_drop})
+            losses = criterion(out["pred_logits"], labels)
+            return losses["loss_ce"], losses
+
+        (loss, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params)
+        if axis_name is not None:
+            grads = jax.lax.pmean(grads, axis_name)
+            loss = jax.lax.pmean(loss, axis_name)
+        state = state.apply_gradients(grads=grads)
+        return state, {"loss_ce": loss, "class_error": losses["class_error"]}
+
+    if mesh is None or axis_name is None:
+        return jax.jit(step, donate_argnums=(0,))
+    sharded = jax.shard_map(
+        step, mesh=mesh,
+        in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS), P()),
+        out_specs=(P(), P()), check_vma=False)
+    return jax.jit(sharded, donate_argnums=(0,))
+
+
+def make_detr_eval_step(model, criterion, mesh,
+                        retina_cfg: retina.RetinaConfig, num_fixations: int,
+                        axis_name: str | None = DATA_AXIS):
+    """``val_classifier`` equivalent: query-mean logits → top-1/top-5
+    (``DETR_Image_Classification.py:669-763``)."""
+
+    def step(state: TrainState, images, labels, key):
+        if axis_name is not None:
+            key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
+        glimpses, saccades, mask = collect_glimpse_sequence(
+            images, key, retina_cfg, num_fixations)
+        out = model.apply({"params": state.params,
+                           "batch_stats": state.batch_stats},
+                          glimpses, saccades, mask, train=False)
+        logits = jnp.mean(out["pred_logits"], axis=1)  # mean over queries :725
+        losses = criterion(out["pred_logits"], labels)
+        top1 = top_k_accuracy(logits, labels, 1)
+        top5 = top_k_accuracy(logits, labels, 5)
+        metrics = {"loss_ce": losses["loss_ce"], "top1": top1, "top5": top5}
+        if axis_name is not None:
+            metrics = jax.lax.pmean(metrics, axis_name)
+        return metrics
+
+    if mesh is None or axis_name is None:
+        return jax.jit(step)
+    sharded = jax.shard_map(
+        step, mesh=mesh,
+        in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS), P()),
+        out_specs=P(), check_vma=False)
+    return jax.jit(sharded)

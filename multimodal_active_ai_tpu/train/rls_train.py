@@ -1,0 +1,176 @@
+"""Reinforcement-learned saccades (RLS): DETR training + DQN glimpse policy.
+
+Rebuild of reference ``DETR_Image_Classification_RLS.py:657-849`` +
+``DQN/Training.py``: while the DETR classifier trains, a DQN learns *where
+to look next* — per fixation, the policy net proposes the next saccade from
+the last glimpse (ε-greedy), per-sample transitions
+``(glimpse_{j-1}, saccade_j, glimpse_j, top1-correct reward)`` are pushed to
+a replay memory, and with probability 0.7 per batch a Bellman-Huber DQN
+update runs (grad clamp ±1 + RMSprop, target-net sync every
+``target_update_freq`` epochs).
+
+TPU-native split: the glimpse rollout (retina + policy argmax per fixation)
+and the DETR/DQN updates are jitted device programs; the replay memory stays
+on host (RAM capacity) with vectorized batch pushes — the host↔device
+boundary crossed once per batch, not once per (sample × fixation) as in the
+reference (``DETR_Image_Classification_RLS.py:751-769``).
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import PartitionSpec as P
+
+from multimodal_active_ai_tpu.objectives.dqn_loss import dqn_bellman_loss
+from multimodal_active_ai_tpu.ops import retina
+from multimodal_active_ai_tpu.parallel.mesh import DATA_AXIS
+from multimodal_active_ai_tpu.rl.policy import eps_threshold
+from multimodal_active_ai_tpu.train.simclr_train import TrainState
+from multimodal_active_ai_tpu.utils.metrics import top_k_accuracy
+
+
+class RolloutResult(NamedTuple):
+    glimpses: jnp.ndarray   # (B, F, g, g, 12)
+    saccades: jnp.ndarray   # (B, F, 2) (x, y)
+    mask: jnp.ndarray       # (B, F) True = padded fixation
+
+
+def make_rollout(dqn_model, retina_cfg: retina.RetinaConfig,
+                 num_fixations: int, num_of_actions: int,
+                 eps_start: float, eps_end: float, eps_decay: float):
+    """Policy-driven glimpse rollout (``DETR_Image_Classification_RLS.py:
+    686-729``): fixation 0 is random; epoch 0 is fully random; otherwise the
+    policy DQN proposes coords with ε-greedy exploration. ``num_fixs`` is
+    drawn in [2, F] (``:686``) and becomes a pad mask.
+    """
+
+    def rollout(dqn_variables, images, key, epoch):
+        batch = images.shape[0]
+        src = images.shape[1]
+        k_n, k_loop = jax.random.split(key)
+        num_fixs = jax.random.randint(k_n, (), 2, max(num_fixations, 2) + 1)
+        thr = eps_end + (eps_start - eps_end) * jnp.exp(
+            -epoch.astype(jnp.float32) / eps_decay)
+
+        def glimpse_at(fix_xy, k):
+            p = retina.sample_labeled_params(k, batch, src,
+                                             fix_yx=fix_xy[:, ::-1])
+            return retina.apply_retina(images, p, k, retina_cfg,
+                                       photometric=False)
+
+        def body(carry, kj):
+            prev_glimpse, j = carry
+            k_coin, k_rand, k_ret = jax.random.split(kj, 3)
+            qx, qy = dqn_model.apply(dqn_variables, prev_glimpse, train=False)
+            fx = jnp.argmax(qx, axis=1).astype(jnp.float32) / num_of_actions
+            fy = jnp.argmax(qy, axis=1).astype(jnp.float32) / num_of_actions
+            greedy = jnp.stack([fx, fy], axis=1)
+            random_fix = jax.random.uniform(k_rand, (batch, 2))
+            sample = jax.random.uniform(k_coin, ())
+            use_random = jnp.logical_or(
+                jnp.logical_or(j == 0, epoch == 0), sample <= thr)
+            fix_xy = jnp.where(use_random, random_fix, greedy)
+            g = glimpse_at(fix_xy, k_ret)
+            return (g, j + 1), (g, fix_xy)
+
+        keys = jax.random.split(k_loop, num_fixations)
+        g_init = jnp.zeros((batch, retina_cfg.glimpse_size,
+                            retina_cfg.glimpse_size, retina_cfg.num_channels),
+                           jnp.float32)
+        _, (glimpses, saccades) = jax.lax.scan(body, (g_init, 0), keys)
+        glimpses = jnp.moveaxis(glimpses, 0, 1)
+        saccades = jnp.moveaxis(saccades, 0, 1)
+        mask = jnp.broadcast_to(
+            jnp.arange(num_fixations)[None, :] >= num_fixs,
+            (batch, num_fixations))
+        return RolloutResult(glimpses, saccades, mask)
+
+    return rollout
+
+
+def make_rls_train_step(model, criterion, dqn_model, mesh,
+                        retina_cfg: retina.RetinaConfig, num_fixations: int,
+                        num_of_actions: int, eps_start: float, eps_end: float,
+                        eps_decay: float, axis_name: str | None = DATA_AXIS):
+    """DETR update on a policy-driven rollout; also returns per-sample
+    rewards and the rollout so the host can feed the replay memory
+    (``DETR_Image_Classification_RLS.py:731-769``)."""
+
+    rollout_fn = make_rollout(dqn_model, retina_cfg, num_fixations,
+                              num_of_actions, eps_start, eps_end, eps_decay)
+
+    def step(state: TrainState, dqn_variables, images, labels, key, epoch):
+        if axis_name is not None:
+            key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
+        k_roll, k_drop = jax.random.split(key)
+        ro = rollout_fn(dqn_variables, images, k_roll, epoch)
+        glimpses = jax.lax.stop_gradient(ro.glimpses)
+
+        def loss_fn(params):
+            out = model.apply({"params": params,
+                               "batch_stats": state.batch_stats},
+                              glimpses, ro.saccades, ro.mask, train=True,
+                              rngs={"dropout": k_drop})
+            losses = criterion(out["pred_logits"], labels)
+            return losses["loss_ce"], out
+
+        (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params)
+        if axis_name is not None:
+            grads = jax.lax.pmean(grads, axis_name)
+            loss = jax.lax.pmean(loss, axis_name)
+        state = state.apply_gradients(grads=grads)
+
+        # per-sample reward: query-mean top-1 correctness (RLS :751-769 uses
+        # the prediction/label agreement as the reward signal)
+        logits = jnp.mean(out["pred_logits"], axis=1)
+        reward = (jnp.argmax(logits, axis=1) == labels).astype(jnp.float32)
+        return state, {"loss_ce": loss, "reward_mean": jnp.mean(reward)}, ro, reward
+
+    if mesh is None or axis_name is None:
+        return jax.jit(step)
+    sharded = jax.shard_map(
+        step, mesh=mesh,
+        in_specs=(P(), P(), P(DATA_AXIS), P(DATA_AXIS), P(), P()),
+        out_specs=(P(), P(), P(DATA_AXIS), P(DATA_AXIS)), check_vma=False)
+    return jax.jit(sharded)
+
+
+def make_dqn_update_step(dqn_model, num_of_actions: int, gamma: float,
+                         mesh=None, axis_name: str | None = None):
+    """``optimize_foveator`` equivalent (``DQN/Training.py:86-140``): Bellman
+    Huber loss on a replay sample, gradients clamped to ±1 elementwise (the
+    reference's ``param.grad.data.clamp_(-1, 1)``), RMSprop step applied by
+    the caller's optimizer. Replay batches are host-sampled, so this is a
+    plain single-program jit (the DQN is replicated)."""
+
+    def step(policy_state: TrainState, target_variables, transition):
+        states, actions, next_states, rewards = transition
+
+        def loss_fn(params):
+            qx, qy = dqn_model.apply(
+                {"params": params, "batch_stats": policy_state.batch_stats},
+                states, train=False)
+            tqx, tqy = dqn_model.apply(target_variables, next_states,
+                                       train=False)
+            return dqn_bellman_loss(qx, qy,
+                                    jax.lax.stop_gradient(tqx),
+                                    jax.lax.stop_gradient(tqy),
+                                    actions, rewards, gamma, num_of_actions)
+
+        loss, grads = jax.value_and_grad(loss_fn)(policy_state.params)
+        grads = jax.tree.map(lambda g: jnp.clip(g, -1.0, 1.0), grads)
+        policy_state = policy_state.apply_gradients(grads=grads)
+        return policy_state, loss
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
+def sync_target(policy_state: TrainState):
+    """``target ← policy`` hard sync (``DETR_Image_Classification_RLS.py:590-592``)."""
+    return {"params": policy_state.params,
+            "batch_stats": policy_state.batch_stats}

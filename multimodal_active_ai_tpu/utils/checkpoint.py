@@ -1,0 +1,173 @@
+"""Checkpoint manager: last/best files, full training history, rank-0 writes.
+
+Rebuild of reference ``SimCLR/Model_Util.py:95-99`` + the SimCLR driver's
+checkpoint schema (``Contrastive_Learning.py:521-530``):
+
+    {epoch, state_dict, best_prec1, optimizer,
+     loss_history, top1_acc_history, top5_acc_history, total_time}
+
+Semantics preserved: a rolling ``checkpoint`` file plus a ``model_best`` copy
+when validation improves (``Model_Util.py:95-99``), written by process 0 only
+(``Contrastive_Learning.py:517``). Serialization is flax msgpack instead of
+``torch.save``; :func:`import_torch_checkpoint` consumes the reference's
+``.pth.tar`` layout directly (torch-CPU load + name/layout mapping) so
+pretrained PyTorch encoders can be evaluated or fine-tuned in this
+framework — the cross-stage contract of ``backbone.py:205-213`` and
+``Representation_Evaluation.py:405-422``.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import serialization
+
+
+def _to_host(tree):
+    return jax.tree.map(lambda x: np.asarray(jax.device_get(x)), tree)
+
+
+def save_checkpoint(state: dict, is_best: bool,
+                    filename: str = "checkpoint.msgpack",
+                    best_filename: str = "model_best.msgpack") -> None:
+    """Write ``state`` and copy to the best file when ``is_best``
+    (``Model_Util.py:95-99``). Call only from process 0."""
+    payload = serialization.msgpack_serialize(_to_host(state))
+    tmp = filename + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(payload)
+    os.replace(tmp, filename)
+    if is_best:
+        print("Saving a new best model with precesion {}".format(state.get("best_prec1")))
+        shutil.copyfile(filename, best_filename)
+
+
+def load_checkpoint(filename: str) -> dict:
+    with open(filename, "rb") as f:
+        return serialization.msgpack_restore(f.read())
+
+
+def restore_like(template, state):
+    """Restore a host-loaded checkpoint subtree onto a template pytree
+    (shape/dtype donors), keeping the template's structure."""
+    flat_t, treedef = jax.tree.flatten(template)
+    flat_s = jax.tree.leaves(state)
+    if len(flat_t) != len(flat_s):
+        raise ValueError(f"checkpoint/template leaf mismatch: {len(flat_s)} vs {len(flat_t)}")
+    return jax.tree.unflatten(treedef, [
+        jnp.asarray(s, dtype=t.dtype).reshape(t.shape) for t, s in zip(flat_t, flat_s)
+    ])
+
+
+# ---------------------------------------------------------------------------
+# PyTorch reference-checkpoint import
+
+
+def _torch_conv_to_hwio(w: np.ndarray) -> np.ndarray:
+    # torch OIHW -> flax HWIO
+    return np.transpose(w, (2, 3, 1, 0))
+
+
+def torch_linear_on_flattened_conv(w: np.ndarray, chw: tuple[int, int, int]) -> np.ndarray:
+    """Convert a torch Linear weight that consumes ``x.view(B, -1)`` of an
+    NCHW feature map into the flax kernel consuming the NHWC flatten.
+
+    torch flattens (C, H, W) C-major; this framework flattens (H, W, C).
+    Returns the flax-layout kernel ``(H*W*C, out)``.
+    """
+    c, h, wd = chw
+    out_dim = w.shape[0]
+    return np.transpose(w.reshape(out_dim, c, h, wd), (2, 3, 1, 0)).reshape(h * wd * c, out_dim)
+
+
+def import_torch_simclr_state_dict(state_dict: dict[str, Any], params: dict,
+                                   batch_stats: dict) -> tuple[dict, dict]:
+    """Map a reference SimCLR ``state_dict`` (``Contrastive_Learning.py:523``)
+    onto this framework's ``params``/``batch_stats`` pytrees.
+
+    Reference layout: ``f.conv1.weight``, ``f.bn1.{weight,bias,running_mean,
+    running_var}``, ``f.layer{1..4}.{i}.conv{j}.weight``, ``f.layer{k}.{i}.
+    downsample.{0,1}.*``, ``g.layers.{0,2}.{weight,bias}`` — produced by
+    ``resnet.py`` + ``multilayerPerceptron.py`` under ``SimCLR_Module``.
+    """
+    import copy
+
+    params = copy.deepcopy(jax.tree.map(np.asarray, params))
+    batch_stats = copy.deepcopy(jax.tree.map(np.asarray, batch_stats))
+    sd = {k: np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach") else v)
+          for k, v in state_dict.items()}
+
+    def put(tree, path, value):
+        node = tree
+        for k in path[:-1]:
+            node = node[k]
+        assert node[path[-1]].shape == value.shape, (path, node[path[-1]].shape, value.shape)
+        node[path[-1]] = value.astype(node[path[-1]].dtype)
+
+    f_params = params["f"]
+
+    # stem
+    put(f_params, ("conv1", "kernel"), _torch_conv_to_hwio(sd["f.conv1.weight"]))
+    put(f_params, ("bn1", "scale"), sd["f.bn1.weight"])
+    put(f_params, ("bn1", "bias"), sd["f.bn1.bias"])
+    put(batch_stats["f"], ("bn1", "mean"), sd["f.bn1.running_mean"])
+    put(batch_stats["f"], ("bn1", "var"), sd["f.bn1.running_var"])
+
+    # blocks: our naming layer{s}_{i} with Conv_0/Conv_1[/Conv_2][/Conv_3=downsample]
+    # and BatchNorm_0..; torch: f.layer{s}.{i}.conv{j}/bn{j}/downsample.{0,1}
+    for name in list(f_params.keys()):
+        if not name.startswith("layer"):
+            continue
+        stage, idx = name[5:].split("_")
+        prefix = f"f.layer{stage}.{idx}."
+        block_p = f_params[name]
+        block_s = batch_stats["f"][name]
+        convs = sorted([k for k in block_p if k.startswith("Conv_")],
+                       key=lambda s: int(s.split("_")[1]))
+        bns = sorted([k for k in block_p if k.startswith("BatchNorm_")],
+                     key=lambda s: int(s.split("_")[1]))
+        has_down = (prefix + "downsample.0.weight") in sd
+        n_main = len(convs) - (1 if has_down else 0)
+        for j in range(n_main):
+            put(block_p, (convs[j], "kernel"),
+                _torch_conv_to_hwio(sd[f"{prefix}conv{j + 1}.weight"]))
+            put(block_p, (bns[j], "scale"), sd[f"{prefix}bn{j + 1}.weight"])
+            put(block_p, (bns[j], "bias"), sd[f"{prefix}bn{j + 1}.bias"])
+            put(block_s, (bns[j], "mean"), sd[f"{prefix}bn{j + 1}.running_mean"])
+            put(block_s, (bns[j], "var"), sd[f"{prefix}bn{j + 1}.running_var"])
+        if has_down:
+            put(block_p, (convs[-1], "kernel"),
+                _torch_conv_to_hwio(sd[prefix + "downsample.0.weight"]))
+            put(block_p, (bns[-1], "scale"), sd[prefix + "downsample.1.weight"])
+            put(block_p, (bns[-1], "bias"), sd[prefix + "downsample.1.bias"])
+            put(block_s, (bns[-1], "mean"), sd[prefix + "downsample.1.running_mean"])
+            put(block_s, (bns[-1], "var"), sd[prefix + "downsample.1.running_var"])
+
+    # projector g: torch Linear weight is (out, in) -> flax kernel (in, out);
+    # the first layer consumes the flattened (C,4,4) feature map, so its
+    # input indices must be permuted from torch's C-major flatten to NHWC.
+    if "g.layers.0.weight" in sd and "g" in params:
+        g = params["g"]
+        w0 = sd["g.layers.0.weight"]
+        feat_c = w0.shape[1] // 16  # spatial output is 4x4 (resnet.py surgery)
+        put(g, ("Dense_0", "kernel"), torch_linear_on_flattened_conv(w0, (feat_c, 4, 4)))
+        put(g, ("Dense_0", "bias"), sd["g.layers.0.bias"])
+        put(g, ("Dense_1", "kernel"), sd["g.layers.2.weight"].T)
+        put(g, ("Dense_1", "bias"), sd["g.layers.2.bias"])
+
+    return params, batch_stats
+
+
+def import_torch_checkpoint(path: str, params: dict, batch_stats: dict):
+    """Load a reference ``.pth.tar`` checkpoint file and map its
+    ``state_dict`` onto framework pytrees. Requires torch (CPU) at call time."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu")
+    sd = ckpt.get("state_dict", ckpt)
+    return import_torch_simclr_state_dict(sd, params, batch_stats)

@@ -1,0 +1,188 @@
+#!/usr/bin/env python
+"""Linear-probe representation evaluation driver (TPU-native).
+
+Entry-point rebuild of reference ``Representation_Evaluation.py`` (851 LoC):
+loads a pretrained SimCLR checkpoint (this framework's msgpack or the
+reference's ``.pth.tar`` — the projector is stripped either way,
+``Representation_Evaluation.py:405-422``), freezes the encoder, trains a
+logistic-regression head on features of ``num_fixations`` concatenated
+random glimpses, and reports top-1/top-5.
+"""
+
+from __future__ import annotations
+
+import os
+from time import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from contrastive_learning import build_reader
+from multimodal_active_ai_tpu.config import EvalConfig, parse_into
+from multimodal_active_ai_tpu.models import LogisticRegression, SimCLRModule
+from multimodal_active_ai_tpu.models.resnet import encoder_feature_dim
+from multimodal_active_ai_tpu.ops import retina
+from multimodal_active_ai_tpu.parallel.mesh import (
+    DATA_AXIS,
+    create_mesh,
+    initialize_distributed,
+)
+from multimodal_active_ai_tpu.train import eval_probe, optimizers, schedule
+from multimodal_active_ai_tpu.train.simclr_train import TrainState
+from multimodal_active_ai_tpu.utils import checkpoint as ckpt
+from multimodal_active_ai_tpu.utils.meters import AverageMeter, speed_line
+
+
+def load_pretrained_encoder(model, cfg, rng, glimpse_sample):
+    """Load the SimCLR checkpoint and return encoder variables.
+
+    Accepts both this framework's msgpack checkpoints and reference
+    ``.pth.tar`` files — the cross-stage contract of
+    ``Representation_Evaluation.py:405-422`` (load state_dict, ``g`` becomes
+    Identity; here downstream consumers simply call ``features()`` which
+    bypasses ``g``).
+    """
+    variables = model.init(rng, glimpse_sample, train=False)
+    path = cfg.model
+    if not path or not os.path.isfile(path):
+        print(f"=> no checkpoint found at '{path}' (using random init)")
+        return variables
+    print(f"=> loading checkpoint '{path}'")
+    if path.endswith((".pth.tar", ".pth", ".pt")):
+        params, batch_stats = ckpt.import_torch_checkpoint(
+            path, variables["params"], variables["batch_stats"])
+    else:
+        payload = ckpt.load_checkpoint(path)
+        params = ckpt.restore_like(variables["params"],
+                                   payload["state_dict"]["params"])
+        batch_stats = ckpt.restore_like(variables["batch_stats"],
+                                        payload["state_dict"]["batch_stats"])
+    print(f"=> loaded pretrained model '{path}'")
+    return {"params": params, "batch_stats": batch_stats}
+
+
+def main(argv=None):
+    cfg = parse_into(EvalConfig, argv, prog="Representation_Evaluation")
+    initialize_distributed(verbose=cfg.verbose)
+    mesh = create_mesh()
+    n_data = mesh.shape[DATA_AXIS]
+    global_batch = cfg.batch_size * n_data
+
+    retina_cfg = retina.RetinaConfig(canvas_size=cfg.canvas_size)
+    dtype = jnp.bfloat16 if cfg.bf16 else jnp.float32
+    encoder = SimCLRModule(arch=cfg.arch, axis_name=None, norm_kind="bn",
+                           dtype=dtype)
+    rng = jax.random.PRNGKey(cfg.seed)
+    sample = jnp.ones((2, retina_cfg.glimpse_size, retina_cfg.glimpse_size,
+                       retina_cfg.num_channels))
+    enc_variables = load_pretrained_encoder(encoder, cfg, rng, sample)
+
+    # classifier: LogisticRegression(C*4*4*num_fixations, num_classes)
+    # (Representation_Evaluation.py:427-439)
+    feat_dim = encoder_feature_dim(cfg.arch) * 4 * 4 * cfg.num_fixations
+    probe = LogisticRegression(num_classes=cfg.num_classes)
+
+    train_reader = build_reader(cfg, "train", jax.process_index(), jax.process_count())
+    val_reader = build_reader(cfg, "val", jax.process_index(), jax.process_count())
+    num_examples = getattr(train_reader, "shard_size", None) or getattr(
+        train_reader, "num_examples", len(train_reader) * cfg.batch_size)
+
+    sched = schedule.simclr_learning_rate(
+        cfg.lr, global_batch, num_examples=num_examples,
+        batch_size=cfg.batch_size, warmup_epochs=cfg.warmup_epochs,
+        train_epochs=cfg.epochs, scaling=cfg.lrs)
+    tx = optimizers.get_optimizer(cfg.optimizer, sched, cfg.momentum,
+                                  cfg.weight_decay)
+    probe_vars = probe.init(rng, jnp.ones((2, feat_dim)))
+    probe_state = TrainState.create(apply_fn=probe.apply,
+                                    params=probe_vars["params"], tx=tx,
+                                    batch_stats={})
+
+    train_step = eval_probe.make_probe_train_step(
+        encoder, probe, mesh, retina_cfg, cfg.num_fixations)
+    eval_step = eval_probe.make_probe_eval_step(
+        encoder, probe, mesh, retina_cfg, cfg.num_fixations)
+    batch_sharding = NamedSharding(mesh, P(DATA_AXIS))
+
+    ckpt_file = os.path.join(cfg.checkpoint_dir, "classifier_checkpoint.msgpack")
+    best_file = os.path.join(cfg.checkpoint_dir, "classifier_model_best.msgpack")
+    best_prec1 = 0.0
+    start_epoch = cfg.start_epoch
+    if cfg.resume and os.path.isfile(cfg.resume):
+        payload = ckpt.load_checkpoint(cfg.resume)
+        probe_state = probe_state.replace(
+            params=ckpt.restore_like(probe_state.params,
+                                     payload["state_dict"]),
+            opt_state=ckpt.restore_like(probe_state.opt_state,
+                                        payload["optimizer"]),
+            step=int(payload.get("step", 0)))
+        start_epoch = int(payload["epoch"])
+        best_prec1 = float(payload["best_prec1"])
+        print(f"=> resumed classifier from '{cfg.resume}' (epoch {start_epoch})")
+
+    def put(x):
+        return jax.device_put(x, batch_sharding) if isinstance(x, np.ndarray) else x
+
+    def run_validation(epoch_key):
+        top1, top5 = AverageMeter(), AverageMeter()
+        for i, (images, labels) in enumerate(iter(val_reader)):
+            m = jax.device_get(eval_step(probe_state, enc_variables,
+                                         put(images), put(labels),
+                                         jax.random.fold_in(epoch_key, 50_000 + i)))
+            top1.update(float(m["top1"]) * 100, cfg.batch_size)
+            top5.update(float(m["top5"]) * 100, cfg.batch_size)
+            if cfg.test and i > 10:
+                break
+        val_reader.reset()
+        return top1.avg, top5.avg
+
+    if cfg.evaluate:
+        prec1, prec5 = run_validation(jax.random.fold_in(rng, 999))
+        print(f"##Top-1 {prec1}\n##Top-5 {prec5}")
+        return prec1, prec5
+
+    total_time = AverageMeter()
+    for epoch in range(start_epoch, cfg.epochs):
+        batch_time, losses = AverageMeter(), AverageMeter()
+        end = time()
+        epoch_key = jax.random.fold_in(rng, epoch)
+        nbatches = len(train_reader)
+        for i, (images, labels) in enumerate(iter(train_reader)):
+            probe_state, m = train_step(probe_state, enc_variables,
+                                        put(images), put(labels),
+                                        jax.random.fold_in(epoch_key, i))
+            if cfg.test and i > 10:
+                break
+            if i % cfg.print_freq == 0:
+                losses.update(float(jax.device_get(m["loss"])), cfg.batch_size)
+                jax.block_until_ready(probe_state.params)
+                batch_time.update((time() - end) / cfg.print_freq)
+                end = time()
+                if jax.process_index() == 0:
+                    print(speed_line(epoch, i, nbatches, batch_time, losses,
+                                     global_batch))
+        train_reader.reset()
+        total_time.update(batch_time.avg)
+
+        prec1, prec5 = run_validation(epoch_key)
+        if jax.process_index() == 0:
+            is_best = prec1 > best_prec1
+            best_prec1 = max(prec1, best_prec1)
+            ckpt.save_checkpoint({
+                "epoch": epoch + 1,
+                "step": int(probe_state.step),
+                "state_dict": jax.device_get(probe_state.params),
+                "best_prec1": best_prec1,
+                "optimizer": jax.device_get(probe_state.opt_state),
+            }, is_best, filename=ckpt_file, best_filename=best_file)
+            print(f"##Top-1 {prec1}\n##Top-5 {prec5}\n##Best Top-1 saved "
+                  f"{best_prec1}\n##Perf {global_batch / total_time.avg if total_time.avg else float('nan')}")
+        if cfg.test:
+            break
+    return probe_state
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,118 @@
+"""Data-layer tests: shard semantics (DALI parity), loaders, synthetic reader."""
+
+import os
+
+import numpy as np
+import pytest
+
+from multimodal_active_ai_tpu.data import (
+    HostLoader,
+    SyntheticReader,
+    compute_shard_size,
+    list_coco_images,
+    list_image_folder,
+    shard_files,
+)
+
+
+def test_compute_shard_size_pad_last_batch():
+    # epoch 1000, 3 shards, padded to 1002 -> shards 334/334/334
+    sizes = [compute_shard_size(1000, i, 3, 32) for i in range(3)]
+    assert sum(sizes) >= 1000
+    assert max(sizes) - min(sizes) <= 1
+
+
+def test_compute_shard_size_single_shard():
+    assert compute_shard_size(777, 0, 1, 32) == 777
+
+
+def test_shard_files_cover_and_pad():
+    files = list(range(10))
+    shards = [shard_files(files, i, 4) for i in range(4)]
+    total = sum(len(s) for s in shards)
+    assert total == 12  # padded to ceil(10/4)*4
+    assert set(x for s in shards for x in s) == set(files)
+
+
+def _make_image_tree(tmp_path, classes=2, per_class=3, size=32):
+    from PIL import Image
+
+    rng = np.random.RandomState(0)
+    for c in range(classes):
+        d = tmp_path / f"class_{c}"
+        d.mkdir(parents=True, exist_ok=True)
+        for i in range(per_class):
+            arr = rng.randint(0, 255, (size, size, 3), dtype=np.uint8)
+            Image.fromarray(arr).save(d / f"img_{i}.jpg")
+    return str(tmp_path)
+
+
+def test_list_image_folder(tmp_path):
+    root = _make_image_tree(tmp_path)
+    files, labels, classes = list_image_folder(root)
+    assert len(files) == 6 and classes == ["class_0", "class_1"]
+    assert labels == [0, 0, 0, 1, 1, 1]
+
+
+def test_host_loader_shapes_and_padding(tmp_path):
+    root = _make_image_tree(tmp_path, classes=2, per_class=3)
+    files, labels, _ = list_image_folder(root)
+    loader = HostLoader(files, labels, batch_size=4, canvas_size=48,
+                        use_native=False)
+    batches = list(iter(loader))
+    assert len(batches) == 2  # 6 images, batch 4, pad_last_batch
+    for images, labs in batches:
+        assert images.shape == (4, 48, 48, 3) and images.dtype == np.uint8
+        assert labs.shape == (4,)
+
+
+def test_host_loader_sharding(tmp_path):
+    root = _make_image_tree(tmp_path, classes=2, per_class=4)
+    files, labels, _ = list_image_folder(root)
+    l0 = HostLoader(files, labels, batch_size=2, canvas_size=32, shard_id=0,
+                    num_shards=2, use_native=False)
+    l1 = HostLoader(files, labels, batch_size=2, canvas_size=32, shard_id=1,
+                    num_shards=2, use_native=False)
+    assert l0.shard_size + l1.shard_size >= len(files)
+
+
+def test_host_loader_shuffle_changes_order(tmp_path):
+    root = _make_image_tree(tmp_path, classes=2, per_class=8)
+    files, labels, _ = list_image_folder(root)
+    loader = HostLoader(files, labels, batch_size=16, canvas_size=16,
+                        shuffle=True, use_native=False)
+    _, labs1 = next(iter(loader))
+    loader.reset()
+    _, labs2 = next(iter(loader))
+    assert not np.array_equal(labs1, labs2)
+
+
+def test_list_coco_images_from_dir(tmp_path):
+    root = _make_image_tree(tmp_path / "imgs", classes=1, per_class=2)
+    files = list_coco_images(os.path.join(root, "class_0"))
+    assert len(files) == 2
+
+
+def test_list_coco_images_from_annotations(tmp_path):
+    import json
+
+    d = tmp_path / "imgs"
+    _make_image_tree(d, classes=1, per_class=2)
+    ann = {"images": [{"file_name": "class_0/img_0.jpg"},
+                      {"file_name": "class_0/img_1.jpg"}]}
+    ann_file = tmp_path / "ann.json"
+    ann_file.write_text(json.dumps(ann))
+    files = list_coco_images(str(d), str(ann_file))
+    assert len(files) == 2 and files[0].endswith("img_0.jpg")
+
+
+def test_synthetic_reader():
+    reader = SyntheticReader(batch_size=4, canvas_size=32, num_examples=10)
+    batches = list(iter(reader))
+    assert len(batches) == 3
+    images, labels = batches[0]
+    assert images.shape == (4, 32, 32, 3)
+    assert labels.shape == (4,)
+    # deterministic across epochs
+    images2, _ = next(iter(reader))
+    np.testing.assert_array_equal(np.asarray(images), np.asarray(images2))
