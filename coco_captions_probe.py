@@ -1,0 +1,207 @@
+#!/usr/bin/env python
+"""COCO-Captions multimodal probe driver (TPU-native).
+
+Productionizes the reference's multimodal prototypes
+(``.ipynb_checkpoints/COCO Captions Test-checkpoint.ipynb`` and
+``Reinforced Transformer-checkpoint.ipynb``, SURVEY §2 #27/#28) as a real
+entry point: a frozen pretrained SimCLR encoder embeds foveated glimpses, a
+text transformer embeds the paired captions, the towers are aligned with
+symmetric InfoNCE, and image↔text retrieval top-1/top-5 is reported.
+
+CLI: ``python coco_captions_probe.py MODEL_CKPT DATA [--dataset mscoco] …``
+(``--dataset synthetic`` runs with generated images + templated captions).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+from time import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from multimodal_active_ai_tpu.config import _flag, parse_into, MODEL_NAMES
+from multimodal_active_ai_tpu.data import SyntheticReader, list_coco_images
+from multimodal_active_ai_tpu.data.loader import HostLoader
+from multimodal_active_ai_tpu.models import MLP, SimCLRModule
+from multimodal_active_ai_tpu.models.text import TextEncoder, tokenize
+from multimodal_active_ai_tpu.ops import retina
+from multimodal_active_ai_tpu.parallel.mesh import (
+    DATA_AXIS,
+    create_mesh,
+    initialize_distributed,
+)
+from multimodal_active_ai_tpu.train import caption_probe, optimizers, schedule
+from multimodal_active_ai_tpu.train.simclr_train import TrainState
+from multimodal_active_ai_tpu.utils import checkpoint as ckpt
+from multimodal_active_ai_tpu.utils.meters import AverageMeter
+from representation_evaluation import load_pretrained_encoder
+
+
+@dataclass
+class CaptionProbeConfig:
+    model: str = _flag("model", default=None, positional=True,
+                       help="pretrained SimCLR checkpoint")
+    data: str = _flag("data", default=None, positional=True)
+    arch: str = _flag("--arch", "-a", default="ResNet18", choices=MODEL_NAMES)
+    dataset: str = _flag("--dataset", default="mscoco",
+                         choices=["mscoco", "synthetic"])
+    batch_size: int = _flag("-b", "--batch-size", default=64)
+    num_fixations: int = _flag("-f", "--num-fixations", default=2)
+    epochs: int = _flag("--epochs", default=5)
+    lr: float = _flag("--lr", default=1e-4)
+    temperature: float = _flag("--temperature", default=0.05)
+    max_len: int = _flag("--max-len", default=32)
+    vocab_size: int = _flag("--vocab-size", default=32768)
+    print_freq: int = _flag("--print-freq", "-p", default=10)
+    workers: int = _flag("-j", "--workers", default=4)
+    canvas_size: int = _flag("--canvas-size", default=640)
+    seed: int = _flag("--seed", default=15)
+    test: bool = _flag("-t", "--test", default=False, action="store_true")
+    verbose: bool = _flag("-v", "--verbose", default=False, action="store_true")
+    num_examples: int = _flag("--num-examples", default=0)
+    checkpoint_dir: str = _flag("--checkpoint-dir", default=".")
+
+
+def load_caption_pairs(cfg):
+    """(files, captions) from COCO annotations (``captions_train2014.json``)."""
+    root = os.path.join(cfg.data, "MSCOCO", "cocoapi")
+    ann_file = os.path.join(root, "annotations", "captions_train2014.json")
+    file_root = os.path.join(root, "images", "train2014")
+    if not os.path.isfile(ann_file):
+        ann_file = None
+        for cand in os.listdir(cfg.data) if os.path.isdir(cfg.data) else []:
+            if cand.startswith("captions") and cand.endswith(".json"):
+                ann_file = os.path.join(cfg.data, cand)
+                file_root = cfg.data
+                break
+    if ann_file is None:
+        files = list_coco_images(cfg.data)
+        return files, [os.path.basename(f).replace("_", " ") for f in files]
+    with open(ann_file) as f:
+        ann = json.load(f)
+    by_id = {im["id"]: im["file_name"] for im in ann["images"]}
+    files, captions = [], []
+    for a in ann["annotations"]:
+        name = by_id.get(a["image_id"])
+        if name:
+            files.append(os.path.join(file_root, name))
+            captions.append(a["caption"])
+    return files, captions
+
+
+def main(argv=None):
+    cfg = parse_into(CaptionProbeConfig, argv, prog="COCO_Captions_Probe")
+    initialize_distributed(verbose=cfg.verbose)
+    mesh = create_mesh()
+    n_data = mesh.shape[DATA_AXIS]
+    global_batch = cfg.batch_size * n_data
+
+    retina_cfg = retina.RetinaConfig(canvas_size=cfg.canvas_size)
+    encoder = SimCLRModule(arch=cfg.arch, axis_name=None, norm_kind="bn")
+    rng = jax.random.PRNGKey(cfg.seed)
+    sample = jnp.ones((2, 30, 30, retina_cfg.num_channels))
+    enc_variables = load_pretrained_encoder(encoder, cfg, rng, sample)
+
+    # towers: image head (MLP on concat features -> 128), text encoder
+    head = MLP(hidden_dim=1024, output_dim=128)
+    text = TextEncoder(vocab_size=cfg.vocab_size, out_dim=128)
+
+    from multimodal_active_ai_tpu.models.resnet import encoder_feature_dim
+    feat_dim = encoder_feature_dim(cfg.arch) * 16 * cfg.num_fixations
+    head_vars = head.init(rng, jnp.ones((2, feat_dim)))
+    text_vars = text.init(rng, jnp.zeros((2, cfg.max_len), jnp.int32))
+
+    params = {"image_head": head_vars["params"], "text": text_vars["params"]}
+    tx = optimizers.get_optimizer("adam", cfg.lr)
+    state = TrainState.create(apply_fn=None, params=params, tx=tx, batch_stats={})
+
+    train_step = caption_probe.make_caption_probe_train_step(
+        encoder, head, text, mesh, retina_cfg, cfg.num_fixations,
+        cfg.temperature)
+    eval_step = caption_probe.make_caption_probe_eval_step(
+        encoder, head, text, mesh, retina_cfg, cfg.num_fixations,
+        cfg.temperature)
+    batch_sharding = NamedSharding(mesh, P(DATA_AXIS))
+
+    # data
+    if cfg.dataset == "synthetic":
+        n = cfg.num_examples or 16 * cfg.batch_size
+        reader = SyntheticReader(cfg.batch_size, cfg.canvas_size,
+                                 num_examples=n, seed=cfg.seed)
+        captions = None
+    else:
+        files, caps = load_caption_pairs(cfg)
+        reader = HostLoader(files, list(range(len(files))),
+                            batch_size=cfg.batch_size,
+                            canvas_size=cfg.canvas_size, shuffle=True,
+                            seed=cfg.seed, num_threads=cfg.workers)
+        captions = caps
+
+    def tokens_for(labels):
+        if captions is None:  # synthetic: templated caption per label
+            texts = [f"a synthetic picture of class {int(l)}" for l in labels]
+        else:
+            texts = [captions[int(l)] for l in labels]
+        ids = np.asarray([tokenize(t, cfg.vocab_size, cfg.max_len)[0]
+                          for t in texts], np.int32)
+        return ids
+
+    def put(x):
+        return jax.device_put(np.asarray(x), batch_sharding)
+
+    for epoch in range(cfg.epochs):
+        meters = {k: AverageMeter() for k in
+                  ("loss", "i2t_top1", "i2t_top5", "t2i_top1", "t2i_top5")}
+        epoch_key = jax.random.fold_in(rng, epoch)
+        losses = AverageMeter()
+        end = time()
+        for i, (images, labels) in enumerate(iter(reader)):
+            tokens = tokens_for(np.asarray(labels))
+            state, m = train_step(state, enc_variables, put(images),
+                                  put(tokens), jax.random.fold_in(epoch_key, i))
+            if i % cfg.print_freq == 0:
+                losses.update(float(jax.device_get(m["loss"])))
+                if jax.process_index() == 0:
+                    print(f"Epoch: [{epoch}][{i}/{len(reader)}]\t"
+                          f"Loss {losses.val:.6f} ({losses.avg:.6f})\t"
+                          f"Time {(time() - end) / cfg.print_freq:.3f}")
+                end = time()
+            if cfg.test and i > 10:
+                break
+        reader.reset()
+
+        for i, (images, labels) in enumerate(iter(reader)):
+            tokens = tokens_for(np.asarray(labels))
+            m = jax.device_get(eval_step(state, enc_variables, put(images),
+                                         put(tokens),
+                                         jax.random.fold_in(epoch_key, 40_000 + i)))
+            for k in meters:
+                meters[k].update(float(m[k]))
+            if cfg.test and i > 3:
+                break
+        reader.reset()
+        if jax.process_index() == 0:
+            print(f"##I2T Top-1 {meters['i2t_top1'].avg}\n"
+                  f"##I2T Top-5 {meters['i2t_top5'].avg}\n"
+                  f"##T2I Top-1 {meters['t2i_top1'].avg}\n"
+                  f"##T2I Top-5 {meters['t2i_top5'].avg}")
+            ckpt.save_checkpoint({
+                "epoch": epoch + 1,
+                "state_dict": jax.device_get(state.params),
+            }, False,
+                filename=os.path.join(cfg.checkpoint_dir,
+                                      "caption_probe_checkpoint.msgpack"),
+                best_filename=os.path.join(cfg.checkpoint_dir,
+                                           "caption_probe_best.msgpack"))
+        if cfg.test:
+            break
+    return state
+
+
+if __name__ == "__main__":
+    main()

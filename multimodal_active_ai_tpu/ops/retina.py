@@ -74,7 +74,7 @@ class RetinaConfig:
     saturation: float = 0.5
     fixation_angle_range: float = 160.0  # angle ~ (U-0.5)*160, Contrastive_Learning.py:603
     supersample: int = 4
-    mode: str = "fused"  # or "canvas"
+    mode: str = "matmul"  # 'matmul' (MXU, default) | 'fused' (gather) | 'canvas' (exact)
 
     @property
     def num_channels(self) -> int:
@@ -266,6 +266,125 @@ def _fused_single(img: jnp.ndarray, p: AugParams, noise_key: jax.Array,
 
 
 # ---------------------------------------------------------------------------
+# Matmul path (MXU): bilinear sampling as dense hat-weight contractions
+#
+# XLA's dynamic gather is the TPU bottleneck for the fused path (it
+# serializes on the VPU); this path reformulates every pyramid level as two
+# batched matmuls with per-image interpolation ("hat") weight matrices —
+# pure MXU work. Antialiasing comes from a static mip pyramid of the source
+# (2x average pooling per level, the prefilter equivalent of the fused
+# path's supersampled box), and the finest 30-crop samples native resolution
+# inside a per-image dynamic-slice window. This is the production default.
+
+
+def _mip_levels(cfg: RetinaConfig):
+    """Static scale→mip assignment: mip spacing ≈ half the glimpse lattice
+    spacing at the median RandomResizedCrop zoom, clamped to the available
+    pyramid. Returns {crop_size: downscale_factor} (1 = native slice path)."""
+    out = {}
+    for crop in cfg.crop_sizes:
+        spacing = crop / cfg.glimpse_size  # canvas px per glimpse px (median rrc ~0.66 folds in)
+        factor = 1
+        while factor * 2 <= spacing * 0.66:
+            factor *= 2
+        out[crop] = factor
+    return out
+
+
+def _build_mips(img: jnp.ndarray, factors) -> dict:
+    """2x-average mip chain of one image (H, W, 3) -> {factor: array}."""
+    mips = {1: img}
+    m = img
+    f = 1
+    while f < max(factors):
+        h, w, c = m.shape
+        m = m.reshape(h // 2, 2, w // 2, 2, c).mean(axis=(1, 3))
+        f *= 2
+        mips[f] = m
+    return mips
+
+
+def _hat(coords: jnp.ndarray, size: int) -> jnp.ndarray:
+    """Dense linear-interpolation weights: (..., P) coords -> (..., P, size)
+    with rows = hat(center - index). Coordinates are edge-clamped, matching
+    :func:`image_ops.bilinear_sample` (rotation out-of-bounds zero-fill is
+    applied separately via the oob mask)."""
+    idx = jnp.arange(size, dtype=jnp.float32)
+    coords = jnp.clip(coords, 0.0, size - 1.0)
+    return jnp.maximum(0.0, 1.0 - jnp.abs(coords[..., None] - idx))
+
+
+def _matmul_single(img: jnp.ndarray, p: AugParams, noise_key: jax.Array,
+                   cfg: RetinaConfig, photometric: bool) -> jnp.ndarray:
+    """Matmul retina for ONE image (vmapped over batch). img: (S, S, 3) f32."""
+    src = img.shape[0]
+    c = float(cfg.canvas_size)
+    g = cfg.glimpse_size
+    center = jnp.array([(c - 1) / 2, (c - 1) / 2], jnp.float32)
+    factors = _mip_levels(cfg)
+    mips = _build_mips(img.astype(jnp.bfloat16), set(factors.values()))
+
+    glimpses = []
+    for li, crop_size in enumerate(cfg.crop_sizes):
+        # glimpse pixel centers -> source coords (same chain as the fused path,
+        # ss=1: the mip prefilter replaces supersampling)
+        base = (jnp.arange(g, dtype=jnp.float32) + 0.5) * (crop_size / g) - 0.5
+        origin = p.fix_yx * (c - crop_size)
+        yy = base[:, None] + origin[0]
+        xx = base[None, :] + origin[1]
+        yy = jnp.broadcast_to(yy, (g, g))
+        xx = jnp.broadcast_to(xx, (g, g))
+        x_f = jnp.where(p.flip, (c - 1.0) - xx, xx)
+        coords = jnp.stack([yy, x_f], axis=-1)
+        keep = image_ops.grid_mask_keep(coords, p.angle, p.fix_yx, p.gm_ratio,
+                                        p.gm_tile)
+        a = image_ops.rotate_coords(coords, -p.angle, center)
+        oob = jnp.logical_or(jnp.any(a < -0.5, -1), jnp.any(a > c - 0.5, -1))
+        s = p.rrc_origin_yx + (a + 0.5) * (p.rrc_size_hw / c) - 0.5  # (g,g,2)
+
+        factor = factors[crop_size]
+        if factor == 1:
+            # native-resolution window: dynamic-slice a bounding box, then
+            # hat-contract inside it (the 30-crop spans <= crop·√2 px)
+            win = int(crop_size * 1.5) + 4
+            win = min(win, src)
+            start = jnp.floor(jnp.min(s.reshape(-1, 2), axis=0)) - 1.0
+            start = jnp.clip(start, 0.0, src - win).astype(jnp.int32)
+            patch = jax.lax.dynamic_slice(
+                mips[1], (start[0], start[1], 0), (win, win, 3))
+            rel = s - start.astype(jnp.float32)[None, None, :]
+            wy = _hat(rel[..., 0].reshape(-1), win)     # (P, win)
+            wx = _hat(rel[..., 1].reshape(-1), win)     # (P, win)
+        else:
+            m = mips[factor]
+            rel = (s + 0.5) / factor - 0.5
+            patch = m
+            wy = _hat(rel[..., 0].reshape(-1), m.shape[0])
+            wx = _hat(rel[..., 1].reshape(-1), m.shape[1])
+
+        # two-stage contraction: rows then columns, fp32 accumulation
+        tmp = jnp.einsum("pu,uvc->pvc", wy.astype(jnp.bfloat16),
+                         patch.astype(jnp.bfloat16),
+                         preferred_element_type=jnp.float32)
+        v = jnp.einsum("pvc,pv->pc", tmp, wx,
+                       preferred_element_type=jnp.float32)
+        v = v.reshape(g, g, 3)
+        v = jnp.where(oob[..., None], 0.0, v) * keep[..., None]
+        if photometric:
+            nk = jax.random.fold_in(noise_key, li)
+            v = image_ops.add_gaussian_noise(v, nk, p.noise_mean, p.noise_std)
+        glimpses.append(v)
+
+    out = jnp.concatenate(glimpses, axis=-1)
+    if photometric:
+        out3 = out.reshape(*out.shape[:-1], len(cfg.crop_sizes), 3)
+        out3 = image_ops.apply_color_twist(out3, p.brightness, p.contrast,
+                                           p.hue, p.saturation)
+        out = out3.reshape(out.shape)
+    return out
+
+
+# ---------------------------------------------------------------------------
 # Canvas (exact) path
 
 
@@ -315,7 +434,8 @@ def apply_retina(images: jnp.ndarray, params: AugParams, key: jax.Array,
     images = images.astype(jnp.float32)
     b = images.shape[0]
     noise_keys = jax.random.split(key, b)
-    single = _fused_single if cfg.mode == "fused" else _canvas_single
+    single = {"fused": _fused_single, "canvas": _canvas_single,
+              "matmul": _matmul_single}[cfg.mode]
     fn = functools.partial(single, cfg=cfg, photometric=photometric)
     return jax.vmap(fn)(images, params, noise_keys)
 

@@ -52,18 +52,37 @@ def test_output_shape_and_dtype(rng):
     assert g.dtype == jnp.float32
 
 
-def test_fused_matches_canvas_on_smooth_images(rng):
-    """The fused inverse-warp path must approximate the exact canvas path."""
+@pytest.mark.parametrize("mode", ["fused", "matmul"])
+def test_fast_modes_match_canvas_on_smooth_images(rng, mode):
+    """Both fast paths (gather-fused and MXU-matmul) must approximate the
+    exact canvas path."""
     imgs = _smooth_images(rng, 2, 64)
     # geometric-only comparison (photometrics identical by linearity; noise excluded)
     p = retina.sample_labeled_params(rng, 2, 64)
     p = p._replace(angle=jnp.array([10.0, -25.0]),
                    fix_yx=jnp.array([[0.3, 0.7], [0.5, 0.2]]))
-    fused = retina.labeled_glimpses(imgs, p, CFG)
+    fast_cfg = retina.RetinaConfig(**{**CFG.__dict__, "mode": mode})
+    fast = retina.labeled_glimpses(imgs, p, fast_cfg)
     canvas_cfg = retina.RetinaConfig(**{**CFG.__dict__, "mode": "canvas"})
     exact = retina.labeled_glimpses(imgs, p, canvas_cfg)
-    err = np.abs(np.asarray(fused) - np.asarray(exact)).mean()
-    assert err < 4.0, err  # mean abs error on 0..255 scale
+    err = np.abs(np.asarray(fast) - np.asarray(exact)).mean()
+    assert err < 4.0, (mode, err)  # mean abs error on 0..255 scale
+
+
+def test_matmul_equals_fused_bilinear_at_native_res(rng):
+    """With every level on the native path and supersampling off, the matmul
+    contraction must reproduce the gather-based bilinear sample exactly."""
+    cfg_g = retina.RetinaConfig(canvas_size=64, crop_sizes=(24, 30),
+                                glimpse_size=30, supersample=1, mode="fused")
+    cfg_m = retina.RetinaConfig(canvas_size=64, crop_sizes=(24, 30),
+                                glimpse_size=30, supersample=1, mode="matmul")
+    imgs = _smooth_images(rng, 2, 64)
+    p = retina.sample_labeled_params(rng, 2, 64)
+    p = p._replace(angle=jnp.array([12.0, -30.0]))
+    a = retina.labeled_glimpses(imgs, p, cfg_g)
+    b = retina.labeled_glimpses(imgs, p, cfg_m)
+    err = np.abs(np.asarray(a) - np.asarray(b)).max()
+    assert err < 1.0, err  # bf16 contraction rounding only
 
 
 def test_labeled_center_fixation_identity():
@@ -88,7 +107,7 @@ def test_flip_consistency(rng):
     g_plain = retina.labeled_glimpses(imgs, base, cfg)
     g_flip = retina.labeled_glimpses(imgs[:, :, ::-1, :], base, cfg)
     np.testing.assert_allclose(np.asarray(g_flip), np.asarray(g_plain)[:, :, ::-1, :],
-                               atol=1e-2)
+                               atol=1.0)  # bf16 contraction rounding
 
 
 def test_unlabeled_photometrics_change_output(rng):

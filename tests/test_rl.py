@@ -1,0 +1,89 @@
+"""Replay memory + ε-greedy policy tests (SURVEY §2 #22, #23)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multimodal_active_ai_tpu.rl import (
+    ReplayMemory,
+    eps_threshold,
+    select_action,
+    select_action_from_policy,
+    select_random_action,
+)
+
+
+def test_replay_push_and_sample():
+    mem = ReplayMemory(100, state_shape=(4,), seed=0)
+    for i in range(5):
+        mem.push(np.full((8, 4), i, np.float32), np.random.rand(8, 2),
+                 np.full((8, 4), i + 1, np.float32), np.ones(8))
+    assert len(mem) == 40
+    tr = mem.sample(16)
+    assert tr.state.shape == (16, 4) and tr.action.shape == (16, 2)
+    assert tr.reward.shape == (16,)
+    # next_state is state + 1 by construction
+    np.testing.assert_allclose(tr.next_state[:, 0], tr.state[:, 0] + 1)
+
+
+def test_replay_ring_overwrite():
+    mem = ReplayMemory(16, state_shape=(2,), seed=0)
+    mem.push(np.zeros((10, 2)), np.zeros((10, 2)), np.zeros((10, 2)), np.zeros(10))
+    mem.push(np.ones((10, 2)), np.ones((10, 2)), np.ones((10, 2)), np.ones(10))
+    assert len(mem) == 16
+
+
+def test_replay_state_dict_roundtrip():
+    mem = ReplayMemory(32, state_shape=(3,), seed=0)
+    mem.push(np.random.rand(8, 3), np.random.rand(8, 2),
+             np.random.rand(8, 3), np.random.rand(8))
+    state = mem.state_dict()
+    mem2 = ReplayMemory(32, state_shape=(3,), seed=1)
+    mem2.load_state_dict(state)
+    assert len(mem2) == 8
+
+
+def test_eps_threshold_decays():
+    # reference Training.py:32-33
+    e0 = eps_threshold(0, 0.9, 0.05, 10.0)
+    e10 = eps_threshold(10, 0.9, 0.05, 10.0)
+    e100 = eps_threshold(100, 0.9, 0.05, 10.0)
+    assert e0 == 0.9
+    assert e0 > e10 > e100
+    np.testing.assert_allclose(e100, 0.05, atol=1e-3)
+
+
+def _fake_dqn(batch, n_actions, best_x, best_y):
+    def apply_fn(variables, states, train=False):
+        qx = jnp.zeros((batch, n_actions)).at[:, best_x].set(1.0)
+        qy = jnp.zeros((batch, n_actions)).at[:, best_y].set(1.0)
+        return qx, qy
+    return apply_fn
+
+
+def test_greedy_action_from_policy():
+    apply_fn = _fake_dqn(4, 10, best_x=3, best_y=7)
+    a = select_action_from_policy(apply_fn, {}, jnp.zeros((4, 8)), 10)
+    np.testing.assert_allclose(np.asarray(a),
+                               np.tile([[0.3, 0.7]], (4, 1)), atol=1e-6)
+
+
+def test_select_action_explores_and_exploits(rng):
+    apply_fn = _fake_dqn(4, 10, best_x=3, best_y=7)
+    # epoch huge -> threshold ~ eps_end=0: almost always greedy
+    a = select_action(rng, apply_fn, {}, jnp.zeros((4, 8)), epoch=10_000,
+                      eps_start=0.9, eps_end=0.0, eps_decay=10.0,
+                      num_of_actions=10, batch_size=4)
+    np.testing.assert_allclose(np.asarray(a), np.tile([[0.3, 0.7]], (4, 1)),
+                               atol=1e-6)
+    # eps_end = 1 -> always random
+    b = select_action(rng, apply_fn, {}, jnp.zeros((4, 8)), epoch=10_000,
+                      eps_start=1.0, eps_end=1.0, eps_decay=10.0,
+                      num_of_actions=10, batch_size=4)
+    assert not np.allclose(np.asarray(b), np.tile([[0.3, 0.7]], (4, 1)))
+
+
+def test_random_action_range(rng):
+    a = select_random_action(rng, 64)
+    assert a.shape == (64, 2)
+    assert (np.asarray(a) >= 0).all() and (np.asarray(a) < 1).all()

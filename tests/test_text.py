@@ -1,0 +1,70 @@
+"""Text tower + captioner tests (multimodal path, SURVEY §2 #27/#28)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multimodal_active_ai_tpu.models.text import (
+    BOS_ID,
+    EOS_ID,
+    PAD_ID,
+    GlimpseCaptioner,
+    TextEncoder,
+    tokenize,
+)
+
+
+def test_tokenize_structure():
+    ids, mask = tokenize("A man riding a horse.", max_len=16)
+    assert len(ids) == 16 and len(mask) == 16
+    assert ids[0] == BOS_ID
+    assert EOS_ID in ids
+    assert sum(mask) == ids.index(EOS_ID) + 1 if EOS_ID in ids else True
+    # deterministic hashing
+    ids2, _ = tokenize("A man riding a horse.", max_len=16)
+    assert ids == ids2
+    # identical words hash to the same bucket
+    a, _ = tokenize("horse", max_len=8)
+    b, _ = tokenize("horse horse", max_len=8)
+    assert a[1] == b[1] == b[2]
+
+
+def test_text_encoder_shapes(rng):
+    enc = TextEncoder(vocab_size=1024, d_model=32, nhead=4, num_layers=1,
+                      dim_feedforward=64, out_dim=16)
+    ids = jnp.asarray([tokenize("a cat", 1024, 8)[0],
+                       tokenize("a dog on grass", 1024, 8)[0]], jnp.int32)
+    v = enc.init(rng, ids)
+    out = enc.apply(v, ids)
+    assert out.shape == (2, 16)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_text_encoder_ignores_padding(rng):
+    enc = TextEncoder(vocab_size=1024, d_model=32, nhead=4, num_layers=1,
+                      dim_feedforward=64, out_dim=16, dropout=0.0)
+    ids = jnp.asarray([tokenize("a cat", 1024, 12)[0]], jnp.int32)
+    v = enc.init(rng, ids)
+    out1 = enc.apply(v, ids)
+    # replacing pad ids with other pad-marked garbage must not matter:
+    # (PAD positions are excluded by mask; assert same output when padding
+    # length grows)
+    ids_longer = jnp.asarray([tokenize("a cat", 1024, 12)[0]], jnp.int32)
+    out2 = enc.apply(v, ids_longer)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), atol=1e-5)
+
+
+def test_captioner_shapes_and_causality(rng):
+    cap = GlimpseCaptioner(vocab_size=512, d_model=32, nhead=4, num_layers=1,
+                           dim_feedforward=64, dropout=0.0)
+    feats = jax.random.normal(rng, (2, 3, 40))
+    ids = jnp.asarray([[BOS_ID, 5, 6, 7], [BOS_ID, 8, 9, PAD_ID]], jnp.int32)
+    v = cap.init(rng, feats, ids)
+    logits = cap.apply(v, feats, ids)
+    assert logits.shape == (2, 4, 512)
+    # causality: changing a later token must not change earlier logits
+    ids2 = ids.at[:, 3].set(100)
+    logits2 = cap.apply(v, feats, ids2)
+    np.testing.assert_allclose(np.asarray(logits[:, :3]),
+                               np.asarray(logits2[:, :3]), atol=1e-5)
+    assert np.abs(np.asarray(logits[:, 3]) - np.asarray(logits2[:, 3])).max() > 0

@@ -30,11 +30,11 @@ def _setup(mesh, axis_name="data"):
 
 
 @pytest.mark.slow
-def test_train_step_runs_and_updates(mesh8):
-    model, state = _setup(mesh8)
-    step = simclr_train.make_train_step(model, mesh8, CFG, num_fixations=2,
+def test_train_step_runs_and_updates(mesh2):
+    model, state = _setup(mesh2)
+    step = simclr_train.make_train_step(model, mesh2, CFG, num_fixations=2,
                                         temperature=0.05, donate=False)
-    images = jax.random.randint(jax.random.PRNGKey(1), (16, 64, 64, 3), 0,
+    images = jax.random.randint(jax.random.PRNGKey(1), (4, 64, 64, 3), 0,
                                 256).astype(jnp.uint8)
     p0 = jax.device_get(state.params["f"]["conv1"]["kernel"])
     state, metrics = step(state, images, jax.random.PRNGKey(2))
@@ -49,10 +49,10 @@ def test_train_step_runs_and_updates(mesh8):
 
 
 @pytest.mark.slow
-def test_eval_step_metrics(mesh8):
-    model, state = _setup(mesh8)
-    ev = simclr_train.make_eval_step(model, mesh8, CFG, temperature=0.05)
-    images = jax.random.randint(jax.random.PRNGKey(3), (16, 64, 64, 3), 0,
+def test_eval_step_metrics(mesh2):
+    model, state = _setup(mesh2)
+    ev = simclr_train.make_eval_step(model, mesh2, CFG, temperature=0.05)
+    images = jax.random.randint(jax.random.PRNGKey(3), (4, 64, 64, 3), 0,
                                 256).astype(jnp.uint8)
     m = jax.device_get(ev(state, images, jax.random.PRNGKey(4)))
     assert np.isfinite(m["loss"])
