@@ -26,9 +26,13 @@ def test_sine_embedding_shape_and_determinism(rng):
 
 
 def test_sine_embedding_depends_on_coords(rng):
+    # NOTE: the reference normalizes by the per-sequence max
+    # (position_encoding.py:43-45), so *constant* sequences at different
+    # absolute coords normalize identically; dependence is only on the
+    # relative pattern within a sequence. Use non-degenerate sequences.
     pe = PositionEmbeddingSine(num_pos_feats=64)
-    a = pe.apply({}, jnp.full((1, 4, 2), 0.25))
-    b = pe.apply({}, jnp.full((1, 4, 2), 0.75))
+    a = pe.apply({}, jnp.array([[[0.1, 0.2], [0.9, 0.8], [0.5, 0.5], [0.3, 0.7]]]))
+    b = pe.apply({}, jnp.array([[[0.8, 0.1], [0.2, 0.9], [0.6, 0.4], [0.7, 0.3]]]))
     assert np.abs(np.asarray(a) - np.asarray(b)).max() > 1e-3
 
 
