@@ -33,7 +33,11 @@ def main():
 
     on_tpu = jax.devices()[0].platform == "tpu"
     n_dev = len(jax.devices())
-    mesh = create_mesh()
+    # on a single device the explicit-sharding jit is pure overhead; plain
+    # jit compiles the identical program (BENCH_FORCE_MESH=1 to override)
+    use_mesh = n_dev > 1 or os.environ.get("BENCH_FORCE_MESH")
+    mesh = create_mesh() if use_mesh else None
+    donate = not os.environ.get("BENCH_NO_DONATE")
 
     # bench configuration: per-chip batch, flagship encoder
     batch_per_chip = int(os.environ.get("BENCH_BATCH", "128" if on_tpu else "4"))
@@ -45,9 +49,11 @@ def main():
     cfg = retina.RetinaConfig(canvas_size=canvas) if canvas >= 640 else \
         retina.RetinaConfig(canvas_size=canvas, crop_sizes=(40, 24, 10, 30),
                             supersample=2)
-    model = SimCLRModule(arch=arch, axis_name=DATA_AXIS, norm_kind="sync_bn",
+    # plain BatchNorm under GSPMD computes global-batch statistics
+    # (SyncBatchNorm semantics); no axis_name — no shard_map
+    model = SimCLRModule(arch=arch, axis_name=None, norm_kind="bn",
                          dtype=jnp.bfloat16)
-    global_batch = batch_per_chip * mesh.shape[DATA_AXIS]
+    global_batch = batch_per_chip * (mesh.shape[DATA_AXIS] if mesh else 1)
     sched = schedule.simclr_learning_rate(0.01, global_batch, 1_281_167,
                                           batch_per_chip, 10, 190)
     tx = optimizers.get_optimizer("lars", sched)
@@ -55,19 +61,25 @@ def main():
     sample = jnp.ones((2, cfg.glimpse_size, cfg.glimpse_size, cfg.num_channels))
     state = simclr_train.create_train_state(model, tx, rng, sample)
     step = simclr_train.make_train_step(model, mesh, cfg, num_fixations, 0.05,
-                                        donate=True)
+                                        donate=donate)
 
     images = jax.random.randint(rng, (global_batch, canvas, canvas, 3), 0, 256,
                                 dtype=jnp.int32).astype(jnp.uint8)
-    images = jax.device_put(images, NamedSharding(mesh, P(DATA_AXIS)))
+    if mesh is not None:
+        images = jax.device_put(images, NamedSharding(mesh, P(DATA_AXIS)))
+    # per-step keys as HOST numpy: indexing a device array per step
+    # (keys[i] / fold_in(rng, i)) embeds the index as a constant and
+    # triggers a fresh tiny-program compile every step — hundreds of ms
+    # of host stall per step on a remote-tunneled device
+    step_keys = jax.device_get(jax.random.split(rng, steps + 1))
 
     # warmup / compile
-    state, m = step(state, images, jax.random.fold_in(rng, 0))
+    state, m = step(state, images, step_keys[0])
     jax.block_until_ready(m["losses"])
 
     t0 = perf_counter()
     for i in range(steps):
-        state, m = step(state, images, jax.random.fold_in(rng, i + 1))
+        state, m = step(state, images, step_keys[i + 1])
     jax.block_until_ready(m["losses"])
     dt = perf_counter() - t0
 

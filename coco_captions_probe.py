@@ -39,6 +39,7 @@ from multimodal_active_ai_tpu.train import caption_probe, optimizers, schedule
 from multimodal_active_ai_tpu.train.simclr_train import TrainState
 from multimodal_active_ai_tpu.utils import checkpoint as ckpt
 from multimodal_active_ai_tpu.utils.meters import AverageMeter
+from multimodal_active_ai_tpu.utils.rng import epoch_key_stream
 from representation_evaluation import load_pretrained_encoder
 
 
@@ -157,13 +158,14 @@ def main(argv=None):
     for epoch in range(cfg.epochs):
         meters = {k: AverageMeter() for k in
                   ("loss", "i2t_top1", "i2t_top5", "t2i_top1", "t2i_top5")}
-        epoch_key = jax.random.fold_in(rng, epoch)
+        step_keys = epoch_key_stream(rng, epoch, len(reader) + 1)
+        val_keys = epoch_key_stream(rng, 40_000 + epoch, len(reader) + 1)
         losses = AverageMeter()
         end = time()
         for i, (images, labels) in enumerate(iter(reader)):
             tokens = tokens_for(np.asarray(labels))
             state, m = train_step(state, enc_variables, put(images),
-                                  put(tokens), jax.random.fold_in(epoch_key, i))
+                                  put(tokens), step_keys[i])
             if i % cfg.print_freq == 0:
                 losses.update(float(jax.device_get(m["loss"])))
                 if jax.process_index() == 0:
@@ -178,8 +180,7 @@ def main(argv=None):
         for i, (images, labels) in enumerate(iter(reader)):
             tokens = tokens_for(np.asarray(labels))
             m = jax.device_get(eval_step(state, enc_variables, put(images),
-                                         put(tokens),
-                                         jax.random.fold_in(epoch_key, 40_000 + i)))
+                                         put(tokens), val_keys[i]))
             for k in meters:
                 meters[k].update(float(m[k]))
             if cfg.test and i > 3:

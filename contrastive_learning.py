@@ -43,6 +43,7 @@ from multimodal_active_ai_tpu.parallel.mesh import (
 from multimodal_active_ai_tpu.train import optimizers, schedule, simclr_train
 from multimodal_active_ai_tpu.utils import checkpoint as ckpt
 from multimodal_active_ai_tpu.utils.meters import AverageMeter, perf_line, speed_line
+from multimodal_active_ai_tpu.utils.rng import epoch_key_stream
 
 
 def build_reader(cfg: ContrastiveConfig, split: str, shard_id: int, num_shards: int):
@@ -99,8 +100,9 @@ def main(argv=None):
         saturation=cfg.saturation)
 
     dtype = jnp.bfloat16 if cfg.bf16 else jnp.float32
-    model = SimCLRModule(arch=cfg.arch, axis_name=DATA_AXIS,
-                         norm_kind="sync_bn", dtype=dtype)
+    # plain BatchNorm under GSPMD = global-batch stats = SyncBN semantics
+    model = SimCLRModule(arch=cfg.arch, axis_name=None,
+                         norm_kind="bn", dtype=dtype)
 
     # readers (pipe1 = train, pipe3 = val); this process loads its hosts' shard
     train_reader = build_reader(cfg, "train", proc_shard, num_proc_shards)
@@ -181,11 +183,11 @@ def main(argv=None):
         losses = AverageMeter()
         nbatches = len(train_reader)
         end = time()
-        epoch_key = jax.random.fold_in(rng, epoch)
+        step_keys = epoch_key_stream(rng, epoch, nbatches + 1)
+        val_keys = epoch_key_stream(rng, 10_000 + epoch, len(val_reader) + 1)
         last_loss = None
         for i, (images, _labels) in enumerate(iter(train_reader)):
-            state, metrics = train_step(state, put(images),
-                                        jax.random.fold_in(epoch_key, i))
+            state, metrics = train_step(state, put(images), step_keys[i])
             last_loss = metrics["losses"]
             if cfg.test and i > 10:
                 break
@@ -208,7 +210,7 @@ def main(argv=None):
         top1 = AverageMeter()
         top5 = AverageMeter()
         for i, (images, _labels) in enumerate(iter(val_reader)):
-            m = eval_step(state, put(images), jax.random.fold_in(epoch_key, 10_000 + i))
+            m = eval_step(state, put(images), val_keys[i])
             m = jax.device_get(m)
             top1.update(float(m["top1"]), cfg.batch_size)
             top5.update(float(m["top5"]), cfg.batch_size)

@@ -30,6 +30,7 @@ from multimodal_active_ai_tpu.train import detr_train
 from multimodal_active_ai_tpu.train.simclr_train import TrainState
 from multimodal_active_ai_tpu.utils import checkpoint as ckpt
 from multimodal_active_ai_tpu.utils.meters import AverageMeter, speed_line
+from multimodal_active_ai_tpu.utils.rng import epoch_key_stream, host_key_stream
 
 
 def load_backbone_into_detr(variables, backbone_path):
@@ -187,9 +188,10 @@ def main(argv=None):
 
     def run_validation(epoch_key):
         top1, top5 = AverageMeter(), AverageMeter()
+        vkeys = host_key_stream(epoch_key, len(val_reader) + 1)
         for i, (images, labels) in enumerate(iter(val_reader)):
             m = jax.device_get(eval_step(state, put(images), put(labels),
-                                         jax.random.fold_in(epoch_key, 70_000 + i)))
+                                         vkeys[i]))
             top1.update(float(m["top1"]) * 100, cfg.batch_size)
             top5.update(float(m["top5"]) * 100, cfg.batch_size)
             if cfg.test and i > 10:
@@ -206,10 +208,10 @@ def main(argv=None):
     for epoch in range(start_epoch, cfg.epochs):
         batch_time, losses = AverageMeter(), AverageMeter()
         end = time()
-        epoch_key = jax.random.fold_in(rng, epoch)
+        step_keys = epoch_key_stream(rng, epoch, len(train_reader) + 1)
         for i, (images, labels) in enumerate(iter(train_reader)):
             state, m = train_step(state, put(images), put(labels),
-                                  jax.random.fold_in(epoch_key, i))
+                                  step_keys[i])
             if cfg.test and i > 10:
                 break
             if i % cfg.print_freq == 0:

@@ -39,6 +39,7 @@ from multimodal_active_ai_tpu.train import detr_train, rls_train
 from multimodal_active_ai_tpu.train.simclr_train import TrainState
 from multimodal_active_ai_tpu.utils import checkpoint as ckpt
 from multimodal_active_ai_tpu.utils.meters import AverageMeter, speed_line
+from multimodal_active_ai_tpu.utils.rng import epoch_key_stream
 
 
 def main(argv=None):
@@ -135,14 +136,15 @@ def main(argv=None):
     for epoch in range(start_epoch, cfg.epochs):
         batch_time, losses, dqn_losses = AverageMeter(), AverageMeter(), AverageMeter()
         end = time()
-        epoch_key = jax.random.fold_in(rng, epoch)
+        step_keys = epoch_key_stream(rng, epoch, len(train_reader) + 1)
+        val_keys = epoch_key_stream(rng, 90_000 + epoch, len(val_reader) + 1)
         epoch_dev = jnp.asarray(epoch, jnp.int32)
         for i, (images, labels) in enumerate(iter(train_reader)):
             dqn_variables = {"params": policy_state.params,
                              "batch_stats": policy_state.batch_stats}
             state, m, rollout, reward = train_step(
                 state, dqn_variables, put(images), put(labels),
-                jax.random.fold_in(epoch_key, i), epoch_dev)
+                step_keys[i], epoch_dev)
 
             # host-side replay push: transitions (g_{j-1}, a_j, g_j, r)
             # per sample per fixation j>=1 (RLS :751-769)
@@ -187,7 +189,7 @@ def main(argv=None):
         top1, top5 = AverageMeter(), AverageMeter()
         for i, (images, labels) in enumerate(iter(val_reader)):
             m = jax.device_get(eval_step(state, put(images), put(labels),
-                                         jax.random.fold_in(epoch_key, 90_000 + i)))
+                                         val_keys[i]))
             top1.update(float(m["top1"]) * 100, cfg.batch_size)
             top5.update(float(m["top5"]) * 100, cfg.batch_size)
             if cfg.test and i > 10:

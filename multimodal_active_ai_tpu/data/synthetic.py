@@ -23,7 +23,10 @@ class SyntheticReader:
         self.canvas_size = canvas_size
         self.num_examples = num_examples
         self.num_classes = num_classes
-        self.key = jax.random.PRNGKey(seed)
+        # host-side key stream: per-batch fold_in/indexing on device arrays
+        # would compile a fresh tiny program per batch index (see utils.rng)
+        self._keys = jax.device_get(
+            jax.random.split(jax.random.PRNGKey(seed), len(self)))
         self._i = 0
 
         @jax.jit
@@ -45,9 +48,13 @@ class SyntheticReader:
     def __next__(self):
         if self._i * self.batch_size >= self.num_examples:
             raise StopIteration
-        batch = self._gen(jax.random.fold_in(self.key, self._i))
+        batch = self._gen(self._keys[self._i])
         self._i += 1
         return batch
+
+    def reset(self):
+        """Reader-reset parity with HostLoader (DALI ``pipe.reset()``)."""
+        self._i = 0
 
     def __len__(self):
         return -(-self.num_examples // self.batch_size)

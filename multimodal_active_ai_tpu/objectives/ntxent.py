@@ -53,11 +53,18 @@ def contrastive_loss(hidden1: jnp.ndarray,
       hidden2: ``(B_local, D)`` projections of view 2.
       hidden_norm: L2-normalize before similarity (``Objective.py:41-43``).
       temperature: similarity temperature (``Objective.py:67-74``).
-      axis_name: mesh axis to gather negatives over. ``None`` = single
-        replica (reference ``world_size == 1`` branch, ``Objective.py:59-65``).
-        Non-None requires being traced under `shard_map`/`pmap`.
+      axis_name: mesh axis to gather negatives over, for use under
+        `shard_map`/`pmap` (the explicit-collective formulation). ``None``
+        treats the inputs as the full global batch — the GSPMD formulation:
+        under ``jit`` with a batch-sharded input, XLA shards these matmuls
+        and inserts the ICI collectives itself, which is the production
+        path (shard_map compiles far slower code for this program).
       torch_gather_semantics: reproduce torch's non-differentiable
         ``dist.all_gather`` (gradient flows only through the LHS operands).
+        With ``axis_name=None`` this emulates the reference's *N-rank
+        distributed* gradients on the global batch (RHS operands
+        stop-gradded); pass ``False`` for the reference's fully
+        differentiable ``world_size == 1`` branch (``Objective.py:59-65``).
 
     Returns:
       ``(loss, logits_ab, labels)`` exactly as ``Objective.py:81``:
@@ -80,8 +87,9 @@ def contrastive_loss(hidden1: jnp.ndarray,
         labels = jax.nn.one_hot(labels_idx, enlarged_batch_size * 2)
         masks = jax.nn.one_hot(labels_idx, enlarged_batch_size)
     else:
-        hidden1_large = hidden1
-        hidden2_large = hidden2
+        gather = jax.lax.stop_gradient if torch_gather_semantics else (lambda x: x)
+        hidden1_large = gather(hidden1)
+        hidden2_large = gather(hidden2)
         labels_idx = jnp.arange(batch_size)
         labels = jax.nn.one_hot(labels_idx, batch_size * 2)
         masks = jax.nn.one_hot(labels_idx, batch_size)

@@ -291,17 +291,37 @@ def _mip_levels(cfg: RetinaConfig):
     return out
 
 
-def _build_mips(img: jnp.ndarray, factors) -> dict:
-    """2x-average mip chain of one image (H, W, 3) -> {factor: array}."""
-    mips = {1: img}
-    m = img
+def build_pyramid(images: jnp.ndarray, cfg: RetinaConfig) -> dict:
+    """Batched 2x-average mip chain: (B, S, S, 3) any dtype -> {factor: bf16}.
+
+    The pyramid depends only on the source batch — NOT on the per-view
+    augmentation parameters (the RRC/rotate/flip warp is folded into the
+    sampling coordinates) — so the training step builds it ONCE per batch
+    and reuses it across all ``1 + num_fixations`` retina passes. This is
+    the prefilter equivalent of DALI's triangle-filter downscale.
+    """
+    factors = set(_mip_levels(cfg).values())
+    m = images.astype(jnp.bfloat16)
+    mips = {1: m}
     f = 1
     while f < max(factors):
-        h, w, c = m.shape
-        m = m.reshape(h // 2, 2, w // 2, 2, c).mean(axis=(1, 3))
+        b, h, w, c = m.shape
+        m = m.reshape(b, h // 2, 2, w // 2, 2, c).mean(axis=(2, 4))
         f *= 2
         mips[f] = m
     return mips
+
+
+def _window_size(crop_size: int, factor: int, mip_size: int) -> int:
+    """Static bounding-box side (in mip px) of one glimpse's source footprint.
+
+    The pre-rotation crop window spans ``crop`` px; rotation bounds the box
+    by ``crop·√2``, the RandomResizedCrop warp only shrinks it (scale ≤ 1),
+    and bilinear + hat support adds a small margin. Rounded up to a multiple
+    of 8 (sublane alignment)."""
+    span = int(crop_size * 1.4143) + 6
+    win = -(-(span // factor + 4) // 8) * 8
+    return min(win, mip_size)
 
 
 def _hat(coords: jnp.ndarray, size: int) -> jnp.ndarray:
@@ -314,15 +334,20 @@ def _hat(coords: jnp.ndarray, size: int) -> jnp.ndarray:
     return jnp.maximum(0.0, 1.0 - jnp.abs(coords[..., None] - idx))
 
 
-def _matmul_single(img: jnp.ndarray, p: AugParams, noise_key: jax.Array,
+def _matmul_single(mips: dict, p: AugParams, noise_key: jax.Array,
                    cfg: RetinaConfig, photometric: bool) -> jnp.ndarray:
-    """Matmul retina for ONE image (vmapped over batch). img: (S, S, 3) f32."""
-    src = img.shape[0]
+    """Matmul retina for ONE image (vmapped over batch).
+
+    ``mips``: per-image mip dict ``{factor: (S/f, S/f, 3) bf16}`` from
+    :func:`build_pyramid`. Every pyramid level dynamic-slices a static-size
+    window bounding the glimpse's source footprint out of its mip, then
+    hat-contracts inside the window — the dense matmuls never touch pixels
+    the glimpse cannot see.
+    """
     c = float(cfg.canvas_size)
     g = cfg.glimpse_size
     center = jnp.array([(c - 1) / 2, (c - 1) / 2], jnp.float32)
     factors = _mip_levels(cfg)
-    mips = _build_mips(img.astype(jnp.bfloat16), set(factors.values()))
 
     glimpses = []
     for li, crop_size in enumerate(cfg.crop_sizes):
@@ -343,24 +368,21 @@ def _matmul_single(img: jnp.ndarray, p: AugParams, noise_key: jax.Array,
         s = p.rrc_origin_yx + (a + 0.5) * (p.rrc_size_hw / c) - 0.5  # (g,g,2)
 
         factor = factors[crop_size]
-        if factor == 1:
-            # native-resolution window: dynamic-slice a bounding box, then
-            # hat-contract inside it (the 30-crop spans <= crop·√2 px)
-            win = int(crop_size * 1.5) + 4
-            win = min(win, src)
-            start = jnp.floor(jnp.min(s.reshape(-1, 2), axis=0)) - 1.0
-            start = jnp.clip(start, 0.0, src - win).astype(jnp.int32)
-            patch = jax.lax.dynamic_slice(
-                mips[1], (start[0], start[1], 0), (win, win, 3))
-            rel = s - start.astype(jnp.float32)[None, None, :]
-            wy = _hat(rel[..., 0].reshape(-1), win)     # (P, win)
-            wx = _hat(rel[..., 1].reshape(-1), win)     # (P, win)
+        m = mips[factor]
+        sm = (s + 0.5) / factor - 0.5 if factor > 1 else s  # mip coords
+        mip_size = m.shape[0]
+        win = _window_size(crop_size, factor, mip_size)
+        if win < mip_size:
+            start = jnp.floor(jnp.min(sm.reshape(-1, 2), axis=0)) - 1.0
+            start = jnp.clip(start, 0.0, mip_size - win).astype(jnp.int32)
+            patch = jax.lax.dynamic_slice(m, (start[0], start[1], 0),
+                                          (win, win, 3))
+            rel = sm - start.astype(jnp.float32)[None, None, :]
         else:
-            m = mips[factor]
-            rel = (s + 0.5) / factor - 0.5
             patch = m
-            wy = _hat(rel[..., 0].reshape(-1), m.shape[0])
-            wx = _hat(rel[..., 1].reshape(-1), m.shape[1])
+            rel = sm
+        wy = _hat(rel[..., 0].reshape(-1), patch.shape[0])  # (P, win)
+        wx = _hat(rel[..., 1].reshape(-1), patch.shape[1])  # (P, win)
 
         # two-stage contraction: rows then columns, fp32 accumulation
         tmp = jnp.einsum("pu,uvc->pvc", wy.astype(jnp.bfloat16),
@@ -426,16 +448,26 @@ def _canvas_single(img: jnp.ndarray, p: AugParams, noise_key: jax.Array,
 # Public pipelines
 
 
-def apply_retina(images: jnp.ndarray, params: AugParams, key: jax.Array,
-                 cfg: RetinaConfig, photometric: bool) -> jnp.ndarray:
+def apply_retina(images: jnp.ndarray | None, params: AugParams, key: jax.Array,
+                 cfg: RetinaConfig, photometric: bool,
+                 pyramid: dict | None = None) -> jnp.ndarray:
     """Traceable core: run the configured pipeline over a batch. Call inside
     your own ``jit``/``shard_map``; the public wrappers below jit it for
-    standalone use."""
-    images = images.astype(jnp.float32)
-    b = images.shape[0]
+    standalone use.
+
+    For the default ``matmul`` mode, pass ``pyramid=build_pyramid(images,
+    cfg)`` when running several views of the same batch (the saccade loop):
+    the mip chain is view-independent and this skips rebuilding it per view.
+    """
+    b = (pyramid[1] if pyramid is not None else images).shape[0]
     noise_keys = jax.random.split(key, b)
-    single = {"fused": _fused_single, "canvas": _canvas_single,
-              "matmul": _matmul_single}[cfg.mode]
+    if cfg.mode == "matmul":
+        if pyramid is None:
+            pyramid = build_pyramid(images, cfg)
+        fn = functools.partial(_matmul_single, cfg=cfg, photometric=photometric)
+        return jax.vmap(fn)(pyramid, params, noise_keys)
+    images = images.astype(jnp.float32)
+    single = {"fused": _fused_single, "canvas": _canvas_single}[cfg.mode]
     fn = functools.partial(single, cfg=cfg, photometric=photometric)
     return jax.vmap(fn)(images, params, noise_keys)
 

@@ -90,3 +90,39 @@ def local_batch_slice(global_batch: int, mesh: Mesh) -> int:
         raise ValueError(
             f"global batch {global_batch} not divisible by data axis {n_data}")
     return global_batch // n_data
+
+
+def data_parallel_jit(fn, mesh: Mesh | None, batch_args: Sequence[int],
+                      donate_argnums: Sequence[int] = (),
+                      num_outputs: int = 1, batch_outputs: Sequence[int] = ()):
+    """GSPMD data parallelism: jit ``fn`` with the listed positional args
+    batch-sharded over the ``data`` axis and everything else replicated.
+
+    This is the production parallelization path for every train/eval step
+    in the framework. The step functions are written for the *global* batch
+    with no explicit collectives; XLA inserts the gradient all-reduce, the
+    global BatchNorm-statistic reduction (SyncBatchNorm parity), and the
+    contrastive-negative exchange from these sharding annotations alone,
+    scheduling them onto ICI. The equivalent ``shard_map`` + explicit
+    ``all_gather``/``pmean`` formulation measured ~200× slower on TPU for
+    the SimCLR step (see ``train/simclr_train.py``), so it is not used.
+
+    ``num_outputs``: arity of fn's output tuple (1 = single pytree).
+    ``batch_outputs``: indices of outputs that are batch-leading and should
+    stay sharded over the data axis (e.g. rollout buffers).
+    """
+    if mesh is None:
+        return jax.jit(fn, donate_argnums=tuple(donate_argnums))
+    import inspect
+
+    n = len(inspect.signature(fn).parameters)
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P(DATA_AXIS))
+    in_sh = tuple(data if i in tuple(batch_args) else repl for i in range(n))
+    if num_outputs == 1:
+        out_sh = data if 0 in tuple(batch_outputs) else repl
+    else:
+        out_sh = tuple(data if i in tuple(batch_outputs) else repl
+                       for i in range(num_outputs))
+    return jax.jit(fn, in_shardings=in_sh, out_shardings=out_sh,
+                   donate_argnums=tuple(donate_argnums))

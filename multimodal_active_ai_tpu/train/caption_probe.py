@@ -15,11 +15,9 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import PartitionSpec as P
-
 from multimodal_active_ai_tpu.objectives.ntxent import contrastive_loss
 from multimodal_active_ai_tpu.ops import retina
-from multimodal_active_ai_tpu.parallel.mesh import DATA_AXIS
+from multimodal_active_ai_tpu.parallel.mesh import data_parallel_jit
 from multimodal_active_ai_tpu.train.simclr_train import TrainState
 from multimodal_active_ai_tpu.utils.metrics import top_k_accuracy
 
@@ -37,15 +35,11 @@ def image_tower(encoder_model, enc_variables, image_head_params, head_model,
 
 def make_caption_probe_train_step(encoder_model, head_model, text_model, mesh,
                                   retina_cfg: retina.RetinaConfig,
-                                  num_fixations: int, temperature: float = 0.05,
-                                  axis_name: str | None = DATA_AXIS):
+                                  num_fixations: int, temperature: float = 0.05):
     """One step: both towers forward, symmetric InfoNCE, update the image
-    head + text tower (encoder stays frozen)."""
+    head + text tower (encoder stays frozen). GSPMD data parallelism."""
 
     def step(state: TrainState, enc_variables, images, tokens, key):
-        if axis_name is not None:
-            key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
-
         def loss_fn(params):
             img_emb = image_tower(encoder_model, enc_variables,
                                   params["image_head"], head_model, images,
@@ -55,63 +49,43 @@ def make_caption_probe_train_step(encoder_model, head_model, text_model, mesh,
             # full differentiable gather: both towers receive gradient
             loss, logits_it, labels = contrastive_loss(
                 img_emb, txt_emb, temperature=temperature,
-                axis_name=axis_name, torch_gather_semantics=False)
+                torch_gather_semantics=False)
             return loss, (logits_it, labels)
 
         (loss, (logits_it, labels)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
-        if axis_name is not None:
-            grads = jax.lax.pmean(grads, axis_name)
-            loss = jax.lax.pmean(loss, axis_name)
         state = state.apply_gradients(grads=grads)
         return state, {"loss": loss}
 
-    if mesh is None or axis_name is None:
-        return jax.jit(step, donate_argnums=(0,))
-    sharded = jax.shard_map(
-        step, mesh=mesh,
-        in_specs=(P(), P(), P(DATA_AXIS), P(DATA_AXIS), P()),
-        out_specs=(P(), P()), check_vma=False)
-    return jax.jit(sharded, donate_argnums=(0,))
+    return data_parallel_jit(step, mesh, batch_args=(2, 3),
+                             donate_argnums=(0,), num_outputs=2)
 
 
 def make_caption_probe_eval_step(encoder_model, head_model, text_model, mesh,
                                  retina_cfg: retina.RetinaConfig,
-                                 num_fixations: int, temperature: float = 0.05,
-                                 axis_name: str | None = DATA_AXIS):
-    """Retrieval metrics: top-1/top-5 in both directions over the (gathered)
+                                 num_fixations: int, temperature: float = 0.05):
+    """Retrieval metrics: top-1/top-5 in both directions over the global
     batch — the contrastive-accuracy analogue of
     ``Contrastive_Learning.py:867-868`` for the multimodal pairing."""
 
     def step(state: TrainState, enc_variables, images, tokens, key):
-        if axis_name is not None:
-            key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
         img_emb = image_tower(encoder_model, enc_variables,
                               state.params["image_head"], head_model, images,
                               key, retina_cfg, num_fixations)
         txt_emb = text_model.apply({"params": state.params["text"]}, tokens,
                                    train=False)
         loss, logits_it, labels = contrastive_loss(
-            img_emb, txt_emb, temperature=temperature, axis_name=axis_name,
+            img_emb, txt_emb, temperature=temperature,
             torch_gather_semantics=False)
         _, logits_ti, _ = contrastive_loss(
-            txt_emb, img_emb, temperature=temperature, axis_name=axis_name,
+            txt_emb, img_emb, temperature=temperature,
             torch_gather_semantics=False)
-        m = {
+        return {
             "loss": loss,
             "i2t_top1": top_k_accuracy(logits_it, labels, 1),
             "i2t_top5": top_k_accuracy(logits_it, labels, 5),
             "t2i_top1": top_k_accuracy(logits_ti, labels, 1),
             "t2i_top5": top_k_accuracy(logits_ti, labels, 5),
         }
-        if axis_name is not None:
-            m = jax.lax.pmean(m, axis_name)
-        return m
 
-    if mesh is None or axis_name is None:
-        return jax.jit(step)
-    sharded = jax.shard_map(
-        step, mesh=mesh,
-        in_specs=(P(), P(), P(DATA_AXIS), P(DATA_AXIS), P()),
-        out_specs=P(), check_vma=False)
-    return jax.jit(sharded)
+    return data_parallel_jit(step, mesh, batch_args=(2, 3))

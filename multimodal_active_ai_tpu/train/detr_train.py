@@ -21,10 +21,8 @@ from typing import Any
 import jax
 import jax.numpy as jnp
 import optax
-from jax.sharding import PartitionSpec as P
-
 from multimodal_active_ai_tpu.ops import retina
-from multimodal_active_ai_tpu.parallel.mesh import DATA_AXIS
+from multimodal_active_ai_tpu.parallel.mesh import data_parallel_jit
 from multimodal_active_ai_tpu.train.simclr_train import TrainState
 from multimodal_active_ai_tpu.utils.metrics import top_k_accuracy
 
@@ -83,6 +81,8 @@ def collect_glimpse_sequence(images, key, retina_cfg: retina.RetinaConfig,
     k_n, k_s = jax.random.split(key)
     num_fixs = jax.random.randint(k_n, (), min_fixations, num_fixations + 1)
     keys = jax.random.split(k_s, num_fixations)
+    pyramid = (retina.build_pyramid(images, retina_cfg)
+               if retina_cfg.mode == "matmul" else None)
 
     def one(k):
         if saccades is None:
@@ -91,7 +91,8 @@ def collect_glimpse_sequence(images, key, retina_cfg: retina.RetinaConfig,
             fix_xy = saccades
         # retina fixation is (y, x); saccade coords are stored (x, y)
         p = retina.sample_labeled_params(k, batch, src, fix_yx=fix_xy[:, ::-1])
-        g = retina.apply_retina(images, p, k, retina_cfg, photometric=False)
+        g = retina.apply_retina(images, p, k, retina_cfg, photometric=False,
+                                pyramid=pyramid)
         return g, fix_xy
 
     glimpses, sacc = jax.lax.map(one, keys)       # (F, B, ...), (F, B, 2)
@@ -103,13 +104,14 @@ def collect_glimpse_sequence(images, key, retina_cfg: retina.RetinaConfig,
 
 
 def make_detr_train_step(model, criterion, mesh,
-                         retina_cfg: retina.RetinaConfig, num_fixations: int,
-                         axis_name: str | None = DATA_AXIS):
-    """``train_classifier`` equivalent (``DETR_Image_Classification.py:538-654``)."""
+                         retina_cfg: retina.RetinaConfig, num_fixations: int):
+    """``train_classifier`` equivalent (``DETR_Image_Classification.py:538-654``).
+
+    GSPMD data parallelism: the step is written for the global batch and
+    jitted with the batch args sharded (see ``parallel.mesh.data_parallel_jit``).
+    """
 
     def step(state: TrainState, images, labels, key):
-        if axis_name is not None:
-            key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
         k_collect, k_drop = jax.random.split(key)
         glimpses, saccades, mask = collect_glimpse_sequence(
             images, k_collect, retina_cfg, num_fixations)
@@ -125,30 +127,19 @@ def make_detr_train_step(model, criterion, mesh,
 
         (loss, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params)
-        if axis_name is not None:
-            grads = jax.lax.pmean(grads, axis_name)
-            loss = jax.lax.pmean(loss, axis_name)
         state = state.apply_gradients(grads=grads)
         return state, {"loss_ce": loss, "class_error": losses["class_error"]}
 
-    if mesh is None or axis_name is None:
-        return jax.jit(step, donate_argnums=(0,))
-    sharded = jax.shard_map(
-        step, mesh=mesh,
-        in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS), P()),
-        out_specs=(P(), P()), check_vma=False)
-    return jax.jit(sharded, donate_argnums=(0,))
+    return data_parallel_jit(step, mesh, batch_args=(1, 2),
+                             donate_argnums=(0,), num_outputs=2)
 
 
 def make_detr_eval_step(model, criterion, mesh,
-                        retina_cfg: retina.RetinaConfig, num_fixations: int,
-                        axis_name: str | None = DATA_AXIS):
+                        retina_cfg: retina.RetinaConfig, num_fixations: int):
     """``val_classifier`` equivalent: query-mean logits → top-1/top-5
     (``DETR_Image_Classification.py:669-763``)."""
 
     def step(state: TrainState, images, labels, key):
-        if axis_name is not None:
-            key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
         glimpses, saccades, mask = collect_glimpse_sequence(
             images, key, retina_cfg, num_fixations)
         out = model.apply({"params": state.params,
@@ -158,15 +149,6 @@ def make_detr_eval_step(model, criterion, mesh,
         losses = criterion(out["pred_logits"], labels)
         top1 = top_k_accuracy(logits, labels, 1)
         top5 = top_k_accuracy(logits, labels, 5)
-        metrics = {"loss_ce": losses["loss_ce"], "top1": top1, "top5": top5}
-        if axis_name is not None:
-            metrics = jax.lax.pmean(metrics, axis_name)
-        return metrics
+        return {"loss_ce": losses["loss_ce"], "top1": top1, "top5": top5}
 
-    if mesh is None or axis_name is None:
-        return jax.jit(step)
-    sharded = jax.shard_map(
-        step, mesh=mesh,
-        in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS), P()),
-        out_specs=P(), check_vma=False)
-    return jax.jit(sharded)
+    return data_parallel_jit(step, mesh, batch_args=(1, 2))

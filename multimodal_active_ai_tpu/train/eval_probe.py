@@ -18,10 +18,8 @@ from typing import Any
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import PartitionSpec as P
-
 from multimodal_active_ai_tpu.ops import retina
-from multimodal_active_ai_tpu.parallel.mesh import DATA_AXIS
+from multimodal_active_ai_tpu.parallel.mesh import data_parallel_jit
 from multimodal_active_ai_tpu.train.simclr_train import TrainState
 from multimodal_active_ai_tpu.utils.metrics import top_k_accuracy
 
@@ -37,11 +35,13 @@ def extract_features(encoder_model, enc_variables, images, key,
     batch = images.shape[0]
     src = images.shape[1]
     keys = jax.random.split(key, num_fixations)
+    pyramid = (retina.build_pyramid(images, retina_cfg)
+               if retina_cfg.mode == "matmul" else None)
 
     def one_fixation(k):
         p = retina.sample_labeled_params(k, batch, src)
         glimpses = retina.apply_retina(images, p, k, retina_cfg,
-                                       photometric=False)
+                                       photometric=False, pyramid=pyramid)
         feats = encoder_model.apply(enc_variables, glimpses, train=False,
                                     method=type(encoder_model).features)
         return feats.reshape(batch, -1)
@@ -56,13 +56,12 @@ def _softmax_ce(logits, labels):
 
 
 def make_probe_train_step(encoder_model, probe_model, mesh,
-                          retina_cfg: retina.RetinaConfig, num_fixations: int,
-                          axis_name: str | None = DATA_AXIS):
-    """``train_classifier`` equivalent (``Representation_Evaluation.py:598-712``)."""
+                          retina_cfg: retina.RetinaConfig, num_fixations: int):
+    """``train_classifier`` equivalent (``Representation_Evaluation.py:598-712``).
+
+    GSPMD data parallelism (see ``parallel.mesh.data_parallel_jit``)."""
 
     def step(probe_state: TrainState, enc_variables, images, labels, key):
-        if axis_name is not None:
-            key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
         feats = extract_features(encoder_model, enc_variables, images, key,
                                  retina_cfg, num_fixations)
         feats = jax.lax.stop_gradient(feats)
@@ -73,43 +72,24 @@ def make_probe_train_step(encoder_model, probe_model, mesh,
 
         (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             probe_state.params)
-        if axis_name is not None:
-            grads = jax.lax.pmean(grads, axis_name)
-            loss = jax.lax.pmean(loss, axis_name)
         probe_state = probe_state.apply_gradients(grads=grads)
         return probe_state, {"loss": loss}
 
-    if mesh is None or axis_name is None:
-        return jax.jit(step, donate_argnums=(0,))
-    sharded = jax.shard_map(
-        step, mesh=mesh,
-        in_specs=(P(), P(), P(DATA_AXIS), P(DATA_AXIS), P()),
-        out_specs=(P(), P()), check_vma=False)
-    return jax.jit(sharded, donate_argnums=(0,))
+    return data_parallel_jit(step, mesh, batch_args=(2, 3),
+                             donate_argnums=(0,), num_outputs=2)
 
 
 def make_probe_eval_step(encoder_model, probe_model, mesh,
-                         retina_cfg: retina.RetinaConfig, num_fixations: int,
-                         axis_name: str | None = DATA_AXIS):
+                         retina_cfg: retina.RetinaConfig, num_fixations: int):
     """``val_classifier`` equivalent (``Representation_Evaluation.py:729-833``)."""
 
     def step(probe_state: TrainState, enc_variables, images, labels, key):
-        if axis_name is not None:
-            key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
         feats = extract_features(encoder_model, enc_variables, images, key,
                                  retina_cfg, num_fixations)
         logits = probe_model.apply({"params": probe_state.params}, feats)
         loss = _softmax_ce(logits, labels)
         top1 = top_k_accuracy(logits, labels, 1)
         top5 = top_k_accuracy(logits, labels, 5)
-        if axis_name is not None:
-            loss, top1, top5 = jax.lax.pmean((loss, top1, top5), axis_name)
         return {"loss": loss, "top1": top1, "top5": top5}
 
-    if mesh is None or axis_name is None:
-        return jax.jit(step)
-    sharded = jax.shard_map(
-        step, mesh=mesh,
-        in_specs=(P(), P(), P(DATA_AXIS), P(DATA_AXIS), P()),
-        out_specs=P(), check_vma=False)
-    return jax.jit(sharded)
+    return data_parallel_jit(step, mesh, batch_args=(2, 3))

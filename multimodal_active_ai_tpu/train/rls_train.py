@@ -23,11 +23,10 @@ from typing import Any, NamedTuple
 import jax
 import jax.numpy as jnp
 import optax
-from jax.sharding import PartitionSpec as P
 
 from multimodal_active_ai_tpu.objectives.dqn_loss import dqn_bellman_loss
 from multimodal_active_ai_tpu.ops import retina
-from multimodal_active_ai_tpu.parallel.mesh import DATA_AXIS
+from multimodal_active_ai_tpu.parallel.mesh import data_parallel_jit
 from multimodal_active_ai_tpu.rl.policy import eps_threshold
 from multimodal_active_ai_tpu.train.simclr_train import TrainState
 from multimodal_active_ai_tpu.utils.metrics import top_k_accuracy
@@ -56,11 +55,14 @@ def make_rollout(dqn_model, retina_cfg: retina.RetinaConfig,
         thr = eps_end + (eps_start - eps_end) * jnp.exp(
             -epoch.astype(jnp.float32) / eps_decay)
 
+        pyramid = (retina.build_pyramid(images, retina_cfg)
+                   if retina_cfg.mode == "matmul" else None)
+
         def glimpse_at(fix_xy, k):
             p = retina.sample_labeled_params(k, batch, src,
                                              fix_yx=fix_xy[:, ::-1])
             return retina.apply_retina(images, p, k, retina_cfg,
-                                       photometric=False)
+                                       photometric=False, pyramid=pyramid)
 
         def body(carry, kj):
             prev_glimpse, j = carry
@@ -95,7 +97,7 @@ def make_rollout(dqn_model, retina_cfg: retina.RetinaConfig,
 def make_rls_train_step(model, criterion, dqn_model, mesh,
                         retina_cfg: retina.RetinaConfig, num_fixations: int,
                         num_of_actions: int, eps_start: float, eps_end: float,
-                        eps_decay: float, axis_name: str | None = DATA_AXIS):
+                        eps_decay: float):
     """DETR update on a policy-driven rollout; also returns per-sample
     rewards and the rollout so the host can feed the replay memory
     (``DETR_Image_Classification_RLS.py:731-769``)."""
@@ -104,8 +106,6 @@ def make_rls_train_step(model, criterion, dqn_model, mesh,
                               num_of_actions, eps_start, eps_end, eps_decay)
 
     def step(state: TrainState, dqn_variables, images, labels, key, epoch):
-        if axis_name is not None:
-            key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
         k_roll, k_drop = jax.random.split(key)
         ro = rollout_fn(dqn_variables, images, k_roll, epoch)
         glimpses = jax.lax.stop_gradient(ro.glimpses)
@@ -120,9 +120,6 @@ def make_rls_train_step(model, criterion, dqn_model, mesh,
 
         (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params)
-        if axis_name is not None:
-            grads = jax.lax.pmean(grads, axis_name)
-            loss = jax.lax.pmean(loss, axis_name)
         state = state.apply_gradients(grads=grads)
 
         # per-sample reward: query-mean top-1 correctness (RLS :751-769 uses
@@ -131,17 +128,13 @@ def make_rls_train_step(model, criterion, dqn_model, mesh,
         reward = (jnp.argmax(logits, axis=1) == labels).astype(jnp.float32)
         return state, {"loss_ce": loss, "reward_mean": jnp.mean(reward)}, ro, reward
 
-    if mesh is None or axis_name is None:
-        return jax.jit(step)
-    sharded = jax.shard_map(
-        step, mesh=mesh,
-        in_specs=(P(), P(), P(DATA_AXIS), P(DATA_AXIS), P(), P()),
-        out_specs=(P(), P(), P(DATA_AXIS), P(DATA_AXIS)), check_vma=False)
-    return jax.jit(sharded)
+    # rollout buffers and per-sample rewards stay batch-sharded; the host
+    # gathers them for the replay memory
+    return data_parallel_jit(step, mesh, batch_args=(2, 3),
+                             num_outputs=4, batch_outputs=(2, 3))
 
 
-def make_dqn_update_step(dqn_model, num_of_actions: int, gamma: float,
-                         mesh=None, axis_name: str | None = None):
+def make_dqn_update_step(dqn_model, num_of_actions: int, gamma: float):
     """``optimize_foveator`` equivalent (``DQN/Training.py:86-140``): Bellman
     Huber loss on a replay sample, gradients clamped to ±1 elementwise (the
     reference's ``param.grad.data.clamp_(-1, 1)``), RMSprop step applied by

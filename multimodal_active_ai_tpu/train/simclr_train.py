@@ -4,35 +4,39 @@ TPU-native rebuild of the reference hot loop (``Contrastive_Learning.py:
 577-740``). The reference's inner saccade loop crosses
 host → DALI → torch → NCCL boundaries twice per fixation
 (``Contrastive_Learning.py:641-700``); here the *entire* per-batch work —
-``1 + num_fixations`` retina passes, forwards, NT-Xent with cross-replica
-all-gather, backward, optimizer update and BN-stat sync — is a single
-``lax.scan`` inside one ``jit(shard_map(...))`` over the device mesh. The
-host only feeds uint8 image batches and a PRNG key.
+``1 + num_fixations`` retina passes, forwards, NT-Xent over the global
+batch, backward, optimizer update and BN-stat sync — is a single
+``lax.scan`` inside one jitted step over the device mesh. The host only
+feeds uint8 image batches and a PRNG key.
 
-Parallelism: batch sharded over the ``data`` mesh axis; parameters
-replicated; gradients ``pmean``-ed across the axis (note: this is *correct*
-data parallelism — the reference unwraps DDP immediately after construction
-(``Contrastive_Learning.py:418-424``) which silently disables gradient sync,
-a quirk SURVEY §2.4 documents; we implement the corrected semantics). BN
-statistics sync via ``axis_name='data'`` (SyncBatchNorm parity), and NT-Xent
-negatives are gathered with torch-parity stop-gradients
-(:mod:`multimodal_active_ai_tpu.objectives.ntxent`).
+Parallelism: **GSPMD data parallelism** — the step is written for the
+global batch and jitted with ``in_shardings`` that split the batch over the
+``data`` mesh axis while replicating parameters; XLA inserts the gradient
+all-reduce, the cross-replica BN-statistic reduction (SyncBatchNorm parity
+— batch stats are means over the *global* batch axis), and the NT-Xent
+negative exchange onto ICI by itself. An earlier revision expressed the
+same program with ``shard_map`` + explicit ``all_gather``/``pmean``; on TPU
+that compiled to ~200× slower code than GSPMD sharding of the identical
+math, so the manual-collective formulation survives only in the NT-Xent
+objective (for tests) — production uses this module.
+
+Note: this is *correct* data parallelism — the reference unwraps DDP
+immediately after construction (``Contrastive_Learning.py:418-424``) which
+silently disables gradient sync, a quirk SURVEY §2.4 documents; we
+implement the corrected semantics. NT-Xent negatives keep torch-parity
+stop-gradients (:mod:`multimodal_active_ai_tpu.objectives.ntxent`).
 """
 
 from __future__ import annotations
 
-import functools
 from typing import Any
 
 import jax
 import jax.numpy as jnp
-import optax
 from flax.training import train_state
-from jax.sharding import PartitionSpec as P
-
 from multimodal_active_ai_tpu.objectives.ntxent import contrastive_loss
 from multimodal_active_ai_tpu.ops import retina
-from multimodal_active_ai_tpu.parallel.mesh import DATA_AXIS
+from multimodal_active_ai_tpu.parallel.mesh import data_parallel_jit
 from multimodal_active_ai_tpu.utils.metrics import top_k_accuracy
 
 
@@ -52,15 +56,16 @@ def create_train_state(model, optimizer, rng, sample_glimpses) -> TrainState:
 
 def make_train_step(model, mesh, retina_cfg: retina.RetinaConfig,
                     num_fixations: int, temperature: float,
-                    axis_name: str | None = DATA_AXIS,
                     donate: bool = True):
     """Build the jitted train step.
 
     Returns ``step(state, images_u8, key) -> (state, metrics)`` where
     ``images_u8`` is the global ``(B, S, S, 3)`` uint8 batch (sharded over
-    the data axis by the caller or by GSPMD) and ``metrics`` carries the
-    per-fixation loss vector (the reference logs the last fixation's loss,
-    ``Contrastive_Learning.py:729``).
+    the data axis by GSPMD) and ``metrics`` carries the per-fixation loss
+    vector (the reference logs the last fixation's loss,
+    ``Contrastive_Learning.py:729``). The model must be built WITHOUT an
+    ``axis_name`` (plain BatchNorm = global-batch statistics under GSPMD,
+    which IS SyncBatchNorm semantics).
     """
 
     def forward(params, batch_stats, glimpses, train):
@@ -72,18 +77,19 @@ def make_train_step(model, mesh, retina_cfg: retina.RetinaConfig,
         return model.apply(variables, glimpses, train=False), batch_stats
 
     def step(state: TrainState, images, key):
-        # per-shard independent randomness, like each rank's own host RNG
-        if axis_name is not None:
-            key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
         batch = images.shape[0]
         src = images.shape[1]
         fix_keys = jax.random.split(key, 2 * (num_fixations + 1)).reshape(
             num_fixations + 1, 2, 2)
+        # mip pyramid is view-independent: build once, reuse across all views
+        pyramid = (retina.build_pyramid(images, retina_cfg)
+                   if retina_cfg.mode == "matmul" else None)
 
         def view(images, kp_kn):
             kp, kn = kp_kn[0], kp_kn[1]
             p = retina.sample_unlabeled_params(kp, batch, src, retina_cfg)
-            return retina.apply_retina(images, p, kn, retina_cfg, photometric=True)
+            return retina.apply_retina(images, p, kn, retina_cfg,
+                                       photometric=True, pyramid=pyramid)
 
         # first saccade (Contrastive_Learning.py:637-639): forward only, but
         # in train mode — BN statistics update, no gradient.
@@ -98,67 +104,46 @@ def make_train_step(model, mesh, retina_cfg: retina.RetinaConfig,
             def loss_fn(params):
                 h2, new_bs = forward(params, state.batch_stats, glimpses, True)
                 loss, logits_ab, labels = contrastive_loss(
-                    jax.lax.stop_gradient(h1), h2,
-                    temperature=temperature, axis_name=axis_name)
+                    jax.lax.stop_gradient(h1), h2, temperature=temperature)
                 return loss, (h2, new_bs)
 
             (loss, (h2, new_bs)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(state.params)
-            if axis_name is not None:
-                grads = jax.lax.pmean(grads, axis_name)
-                loss = jax.lax.pmean(loss, axis_name)
             state = state.apply_gradients(grads=grads, batch_stats=new_bs)
             return (state, h2), loss
 
         (state, _), losses = jax.lax.scan(fixation, (state, h1), fix_keys[1:])
         return state, {"losses": losses}
 
-    if mesh is None or axis_name is None:
-        return jax.jit(step, donate_argnums=(0,) if donate else ())
-
-    sharded = jax.shard_map(
-        step, mesh=mesh,
-        in_specs=(P(), P(DATA_AXIS), P()),
-        out_specs=(P(), P()),
-        check_vma=False,
-    )
-    return jax.jit(sharded, donate_argnums=(0,) if donate else ())
+    return data_parallel_jit(step, mesh, batch_args=(1,),
+                             donate_argnums=(0,) if donate else (),
+                             num_outputs=2)
 
 
 def make_eval_step(model, mesh, retina_cfg: retina.RetinaConfig,
-                   temperature: float, axis_name: str | None = DATA_AXIS):
+                   temperature: float):
     """Validation step: two saccades, contrastive top-1/top-5 from
     ``logits_ab`` (``Contrastive_Learning.py:751-904``)."""
 
     def step(state: TrainState, images, key):
-        if axis_name is not None:
-            key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
         batch = images.shape[0]
         src = images.shape[1]
         ks = jax.random.split(key, 4)
+        pyramid = (retina.build_pyramid(images, retina_cfg)
+                   if retina_cfg.mode == "matmul" else None)
 
         def view(kp, kn):
             p = retina.sample_unlabeled_params(kp, batch, src, retina_cfg)
-            return retina.apply_retina(images, p, kn, retina_cfg, photometric=True)
+            return retina.apply_retina(images, p, kn, retina_cfg,
+                                       photometric=True, pyramid=pyramid)
 
         variables = {"params": state.params, "batch_stats": state.batch_stats}
         h1 = model.apply(variables, view(ks[0], ks[1]), train=False)
         h2 = model.apply(variables, view(ks[2], ks[3]), train=False)
         loss, logits_ab, labels = contrastive_loss(
-            h1, h2, temperature=temperature, axis_name=axis_name)
+            h1, h2, temperature=temperature)
         top1 = top_k_accuracy(logits_ab, labels, 1)
         top5 = top_k_accuracy(logits_ab, labels, 5)
-        if axis_name is not None:
-            loss, top1, top5 = jax.lax.pmean((loss, top1, top5), axis_name)
         return {"loss": loss, "top1": top1, "top5": top5}
 
-    if mesh is None or axis_name is None:
-        return jax.jit(step)
-
-    sharded = jax.shard_map(
-        step, mesh=mesh,
-        in_specs=(P(), P(DATA_AXIS), P()),
-        out_specs=P(),
-        check_vma=False,
-    )
-    return jax.jit(sharded)
+    return data_parallel_jit(step, mesh, batch_args=(1,))

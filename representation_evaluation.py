@@ -33,6 +33,7 @@ from multimodal_active_ai_tpu.train import eval_probe, optimizers, schedule
 from multimodal_active_ai_tpu.train.simclr_train import TrainState
 from multimodal_active_ai_tpu.utils import checkpoint as ckpt
 from multimodal_active_ai_tpu.utils.meters import AverageMeter, speed_line
+from multimodal_active_ai_tpu.utils.rng import epoch_key_stream, host_key_stream
 
 
 def load_pretrained_encoder(model, cfg, rng, glimpse_sample):
@@ -127,10 +128,11 @@ def main(argv=None):
 
     def run_validation(epoch_key):
         top1, top5 = AverageMeter(), AverageMeter()
+        vkeys = host_key_stream(epoch_key, len(val_reader) + 1)
         for i, (images, labels) in enumerate(iter(val_reader)):
             m = jax.device_get(eval_step(probe_state, enc_variables,
                                          put(images), put(labels),
-                                         jax.random.fold_in(epoch_key, 50_000 + i)))
+                                         vkeys[i]))
             top1.update(float(m["top1"]) * 100, cfg.batch_size)
             top5.update(float(m["top5"]) * 100, cfg.batch_size)
             if cfg.test and i > 10:
@@ -147,12 +149,12 @@ def main(argv=None):
     for epoch in range(start_epoch, cfg.epochs):
         batch_time, losses = AverageMeter(), AverageMeter()
         end = time()
-        epoch_key = jax.random.fold_in(rng, epoch)
+        step_keys = epoch_key_stream(rng, epoch, len(train_reader) + 1)
         nbatches = len(train_reader)
         for i, (images, labels) in enumerate(iter(train_reader)):
             probe_state, m = train_step(probe_state, enc_variables,
                                         put(images), put(labels),
-                                        jax.random.fold_in(epoch_key, i))
+                                        step_keys[i])
             if cfg.test and i > 10:
                 break
             if i % cfg.print_freq == 0:

@@ -18,9 +18,9 @@ CFG = retina.RetinaConfig(canvas_size=64, crop_sizes=(40, 24, 10, 30),
                           glimpse_size=30, supersample=1)
 
 
-def _setup(mesh, axis_name="data"):
-    model = SimCLRModule(arch="ResNet18", axis_name=axis_name,
-                         norm_kind="sync_bn" if axis_name else "bn")
+def _setup(mesh):
+    # GSPMD path: no axis_name; BatchNorm stats are global under sharding
+    model = SimCLRModule(arch="ResNet18", axis_name=None, norm_kind="bn")
     sched = schedule.simclr_learning_rate(0.01, 16, 256, 2, 1, 5)
     tx = optimizers.get_optimizer("adam", sched)
     rng = jax.random.PRNGKey(0)
