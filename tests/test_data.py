@@ -116,3 +116,13 @@ def test_synthetic_reader():
     # deterministic across epochs
     images2, _ = next(iter(reader))
     np.testing.assert_array_equal(np.asarray(images), np.asarray(images2))
+
+
+def test_synthetic_reader_reset_replays_epoch():
+    r = SyntheticReader(batch_size=2, canvas_size=16, num_examples=4, seed=3)
+    first = [np.asarray(img) for img, _ in iter(r)]
+    r.reset()
+    second = [np.asarray(img) for img, _ in iter(r)]
+    assert len(first) == 2
+    for a, b in zip(first, second):
+        np.testing.assert_array_equal(a, b)

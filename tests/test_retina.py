@@ -140,3 +140,29 @@ def test_deterministic_given_key(rng):
     g1 = retina.unlabeled_glimpses(imgs, p, rng, CFG)
     g2 = retina.unlabeled_glimpses(imgs, p, rng, CFG)
     np.testing.assert_array_equal(np.asarray(g1), np.asarray(g2))
+
+
+def test_precomputed_pyramid_matches_inline(rng):
+    """apply_retina(pyramid=build_pyramid(...)) must equal the inline path —
+    the train steps hoist the pyramid out of the fixation scan."""
+    imgs = jax.random.randint(rng, (2, 64, 64, 3), 0, 256).astype(jnp.uint8)
+    p = retina.sample_unlabeled_params(rng, 2, 64, CFG)
+    inline = retina.apply_retina(imgs, p, rng, CFG, photometric=True)
+    pyr = retina.build_pyramid(imgs, CFG)
+    hoisted = retina.apply_retina(None, p, rng, CFG, photometric=True,
+                                  pyramid=pyr)
+    np.testing.assert_allclose(np.asarray(inline), np.asarray(hoisted))
+
+
+def test_window_bounds_cover_footprint():
+    """The static window must bound the rotated crop's mip footprint for
+    every (crop, factor) the default configs produce."""
+    for cfg in (retina.RetinaConfig(), CFG):
+        factors = retina._mip_levels(cfg)
+        for crop, f in factors.items():
+            mip_size = cfg.canvas_size // f
+            win = retina._window_size(crop, f, mip_size)
+            assert win <= mip_size
+            # footprint: crop * sqrt(2) in source px, /f in mip px, + margins
+            assert win * f >= min(crop * 1.4142 + 4, cfg.canvas_size - 1) or \
+                win == mip_size
