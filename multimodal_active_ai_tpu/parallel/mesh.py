@@ -110,8 +110,12 @@ def data_parallel_jit(fn, mesh: Mesh | None, batch_args: Sequence[int],
     ``num_outputs``: arity of fn's output tuple (1 = single pytree).
     ``batch_outputs``: indices of outputs that are batch-leading and should
     stay sharded over the data axis (e.g. rollout buffers).
+
+    A 1-device mesh compiles as a plain jit: the program is identical, and
+    engaging the SPMD partitioner for a single device measured ~30x slower
+    execution on the remote-tunneled TPU backend used for benching.
     """
-    if mesh is None:
+    if mesh is None or mesh.size == 1:
         return jax.jit(fn, donate_argnums=tuple(donate_argnums))
     import inspect
 
