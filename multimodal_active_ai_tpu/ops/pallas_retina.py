@@ -1,0 +1,152 @@
+"""Pallas TPU kernel for the retina's windowed bilinear resampling.
+
+The matmul retina (``ops/retina.py``) expresses each pyramid level as a
+per-image dense "hat-weight" contraction over a window of the mip:
+``out[p, c] = Σ_{u,v} hat(rel_y[p]-u) · hat(rel_x[p]-v) · patch[u, v, c]``.
+Under XLA this needs (a) a per-image window extraction — which XLA lowers to
+a *serialized while loop* of dynamic-update-slices over the batch, ~18 ms a
+view-batch on its own — and (b) materialization of the weight matrices and
+the fp32 intermediate between the two contractions in HBM.
+
+This kernel fuses the whole level into one VMEM-resident program per image:
+
+* each image's mip streams in as a grid block; the row window is a dynamic
+  *sublane* slice in VMEM (Mosaic cannot slice HBM or lanes dynamically),
+* hat weights are built on the VPU from integer iotas (never touch HBM),
+* the row contraction runs on the MXU in bf16 with fp32 accumulation over
+  full mip width, processed in lane chunks to bound VMEM,
+* the channel-interleaved column weights fold the window position in x, so
+  no lane-dim shuffling is ever needed,
+
+writing only the ``(P, 3)`` glimpse pixels back. Falls back to the XLA
+einsum formulation off-TPU (tests run both and compare). Replaces (in role)
+the DALI ``ops.Crop``+``ops.Resize`` pyramid stages of the reference
+(``NVIDIA_DALI_Pipelines.py:467-477``).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _hat_sample_kernel(start_ref, rel_ref, mip_ref, out_ref,
+                       *, win: int, m: int, chunk: int):
+    """One image: row-slice the mip block, build hats, contract."""
+    b = pl.program_id(0)
+    sy = pl.multiple_of(start_ref[b, 0], 8)  # caller aligns starts to 16
+    sx = start_ref[b, 1]
+    rows = mip_ref[0, pl.ds(sy, win), :]     # (win, M*3) bf16, dyn sublanes
+    rel = rel_ref[0]                         # (P, 2) f32, window-relative
+    p_dim = rel.shape[0]
+
+    # tpu.iota only produces integers; cast after (float iota fails to lower)
+    idx = jax.lax.broadcasted_iota(jnp.int32, (p_dim, win), 1).astype(jnp.float32)
+    ry = jnp.clip(rel[:, 0:1], 0.0, win - 1.0)
+    wy = jnp.maximum(0.0, 1.0 - jnp.abs(ry - idx))       # (P, win)
+    wy16 = wy.astype(jnp.bfloat16)
+
+    # absolute x, clamped to the window (parity with the XLA fallback's
+    # window-local clamp; hat support at the clamped edge is zero outside)
+    sxf = sx.astype(jnp.float32)
+    rxa = jnp.clip(rel[:, 1:2] + sxf, sxf, sxf + win - 1.0)
+
+    width = m * 3
+    accs = [jnp.zeros((p_dim, 1), jnp.float32) for _ in range(3)]
+    for k0 in range(0, width, chunk):
+        k1 = min(k0 + chunk, width)
+        patch = rows[:, k0:k1]                            # (win, ck) static
+        tmp = jax.lax.dot_general(                        # MXU, f32 accum
+            wy16, patch,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)           # (P, ck)
+        col = jax.lax.broadcasted_iota(jnp.int32, (p_dim, k1 - k0), 1) + k0
+        v = (col // 3).astype(jnp.float32)
+        c = col % 3
+        wx3 = jnp.maximum(0.0, 1.0 - jnp.abs(rxa - v))    # (P, ck)
+        prod = tmp * wx3
+        accs = [a + jnp.sum(jnp.where(c == ch, prod, 0.0), axis=1,
+                            keepdims=True)
+                for ch, a in enumerate(accs)]             # 3 x (P, 1)
+    out_ref[0] = jnp.concatenate(accs, axis=1)            # (P, 3)
+
+
+@functools.partial(jax.jit, static_argnames=("win", "interpret"))
+def hat_sample(mip: jnp.ndarray, rel: jnp.ndarray, start: jnp.ndarray,
+               win: int, interpret: bool = False) -> jnp.ndarray:
+    """Windowed hat-filter resampling of a batched mip.
+
+    Args:
+      mip: ``(B, M, M*3)`` bf16 channel-flattened mip level (the layout
+        :func:`retina.build_pyramid` stores — a ``(M, 3) -> (M*3,)``
+        reshape is a physical re-tiling copy on TPU, paid once at pyramid
+        build instead of per view).
+      rel: ``(B, P, 2)`` f32 sample coords relative to each image's window
+        origin (edge-clamped to the window inside the kernel, matching
+        the XLA fallback's hat construction).
+      start: ``(B, 2)`` int32 window origins (pre-clamped to ``[0, M-win]``
+        and **8-aligned in y** — the kernel's dynamic sublane slice requires
+        it; ``retina._matmul_level_plan`` aligns to 16).
+      win: static window side.
+
+    Returns ``(B, P, 3)`` float32 sampled pixels.
+    """
+    b, p_dim, _ = rel.shape
+    m = mip.shape[1]
+    p_pad = _round_up(p_dim, 8)
+    if p_pad != p_dim:
+        rel = jnp.pad(rel, ((0, 0), (0, p_pad - p_dim), (0, 0)))
+    mip_flat = mip.astype(jnp.bfloat16)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, p_pad, 2), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m, m * 3), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, p_pad, 3), lambda i, *_: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    out = pl.pallas_call(
+        functools.partial(_hat_sample_kernel, win=win, m=m, chunk=768),
+        out_shape=jax.ShapeDtypeStruct((b, p_pad, 3), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(start, rel, mip_flat)
+    return out[:, :p_dim]
+
+
+def hat_sample_xla(mip: jnp.ndarray, rel: jnp.ndarray, start: jnp.ndarray,
+                   win: int) -> jnp.ndarray:
+    """XLA reference/fallback: identical math via dynamic_slice + einsums.
+
+    Takes the same channel-flattened ``(B, M, M*3)`` mip as the kernel."""
+    msize = mip.shape[1]
+    mip = mip.reshape(mip.shape[0], msize, msize, 3)
+
+    def one(m, r, s):
+        patch = jax.lax.dynamic_slice(m, (s[0], s[1], 0), (win, win, 3))
+        idx = jnp.arange(win, dtype=jnp.float32)
+        ry = jnp.clip(r[:, 0:1], 0.0, win - 1.0)
+        rx = jnp.clip(r[:, 1:2], 0.0, win - 1.0)
+        wy = jnp.maximum(0.0, 1.0 - jnp.abs(ry - idx))
+        wx = jnp.maximum(0.0, 1.0 - jnp.abs(rx - idx))
+        tmp = jnp.einsum("pu,uvc->pvc", wy.astype(jnp.bfloat16),
+                         patch.astype(jnp.bfloat16),
+                         preferred_element_type=jnp.float32)
+        return jnp.einsum("pvc,pv->pc", tmp, wx,
+                          preferred_element_type=jnp.float32)
+
+    return jax.vmap(one)(mip, rel, start)

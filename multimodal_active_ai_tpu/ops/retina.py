@@ -75,6 +75,7 @@ class RetinaConfig:
     fixation_angle_range: float = 160.0  # angle ~ (U-0.5)*160, Contrastive_Learning.py:603
     supersample: int = 4
     mode: str = "matmul"  # 'matmul' (MXU, default) | 'fused' (gather) | 'canvas' (exact)
+    use_pallas: bool = True  # matmul mode: fused Pallas sampler on TPU
 
     @property
     def num_channels(self) -> int:
@@ -292,23 +293,30 @@ def _mip_levels(cfg: RetinaConfig):
 
 
 def build_pyramid(images: jnp.ndarray, cfg: RetinaConfig) -> dict:
-    """Batched 2x-average mip chain: (B, S, S, 3) any dtype -> {factor: bf16}.
+    """Batched 2x-average mip chain: (B, S, S, 3) -> {factor: (B, M, M*3) bf16}.
 
     The pyramid depends only on the source batch — NOT on the per-view
     augmentation parameters (the RRC/rotate/flip warp is folded into the
     sampling coordinates) — so the training step builds it ONCE per batch
     and reuses it across all ``1 + num_fixations`` retina passes. This is
     the prefilter equivalent of DALI's triangle-filter downscale.
+
+    Mips are stored channel-flattened ``(B, M, M*3)``: that is the layout
+    the samplers contract against, and on TPU a ``(M, 3) -> (M*3,)``
+    reshape is a physical re-tiling copy — storing flat once avoids paying
+    it again in every view.
     """
     factors = set(_mip_levels(cfg).values())
     m = images.astype(jnp.bfloat16)
-    mips = {1: m}
+    b, h, w, c = m.shape
+    mips = {1: m.reshape(b, h, w * c)}
     f = 1
     while f < max(factors):
-        b, h, w, c = m.shape
         m = m.reshape(b, h // 2, 2, w // 2, 2, c).mean(axis=(2, 4))
+        h //= 2
+        w //= 2
         f *= 2
-        mips[f] = m
+        mips[f] = m.reshape(b, h, w * c)
     return mips
 
 
@@ -318,90 +326,91 @@ def _window_size(crop_size: int, factor: int, mip_size: int) -> int:
     The pre-rotation crop window spans ``crop`` px; rotation bounds the box
     by ``crop·√2``, the RandomResizedCrop warp only shrinks it (scale ≤ 1),
     and bilinear + hat support adds a small margin. Rounded up to a multiple
-    of 8 (sublane alignment)."""
+    of 16 with 16 px of slack: window origins are floor-aligned to 16 so the
+    Pallas kernel's dynamic sublane slice is provably tile-aligned."""
     span = int(crop_size * 1.4143) + 6
-    win = -(-(span // factor + 4) // 8) * 8
+    win = -(-(span // factor + 4 + 16) // 16) * 16
     return min(win, mip_size)
 
 
-def _hat(coords: jnp.ndarray, size: int) -> jnp.ndarray:
-    """Dense linear-interpolation weights: (..., P) coords -> (..., P, size)
-    with rows = hat(center - index). Coordinates are edge-clamped, matching
-    :func:`image_ops.bilinear_sample` (rotation out-of-bounds zero-fill is
-    applied separately via the oob mask)."""
-    idx = jnp.arange(size, dtype=jnp.float32)
-    coords = jnp.clip(coords, 0.0, size - 1.0)
-    return jnp.maximum(0.0, 1.0 - jnp.abs(coords[..., None] - idx))
-
-
-def _matmul_single(mips: dict, p: AugParams, noise_key: jax.Array,
-                   cfg: RetinaConfig, photometric: bool) -> jnp.ndarray:
-    """Matmul retina for ONE image (vmapped over batch).
-
-    ``mips``: per-image mip dict ``{factor: (S/f, S/f, 3) bf16}`` from
-    :func:`build_pyramid`. Every pyramid level dynamic-slices a static-size
-    window bounding the glimpse's source footprint out of its mip, then
-    hat-contracts inside the window — the dense matmuls never touch pixels
-    the glimpse cannot see.
-    """
+def _matmul_level_plan(p: AugParams, cfg: RetinaConfig, crop_size: int,
+                       factor: int, mip_size: int, win: int):
+    """Per-image sampling plan for one level (vmapped over the batch):
+    window-relative mip coords, window origin, grid-mask keep and
+    out-of-bounds masks."""
     c = float(cfg.canvas_size)
     g = cfg.glimpse_size
     center = jnp.array([(c - 1) / 2, (c - 1) / 2], jnp.float32)
+    # glimpse pixel centers -> source coords (same chain as the fused path,
+    # ss=1: the mip prefilter replaces supersampling)
+    base = (jnp.arange(g, dtype=jnp.float32) + 0.5) * (crop_size / g) - 0.5
+    origin = p.fix_yx * (c - crop_size)
+    yy = jnp.broadcast_to(base[:, None] + origin[0], (g, g))
+    xx = jnp.broadcast_to(base[None, :] + origin[1], (g, g))
+    x_f = jnp.where(p.flip, (c - 1.0) - xx, xx)
+    coords = jnp.stack([yy, x_f], axis=-1)
+    keep = image_ops.grid_mask_keep(coords, p.angle, p.fix_yx, p.gm_ratio,
+                                    p.gm_tile)
+    a = image_ops.rotate_coords(coords, -p.angle, center)
+    oob = jnp.logical_or(jnp.any(a < -0.5, -1), jnp.any(a > c - 0.5, -1))
+    s = p.rrc_origin_yx + (a + 0.5) * (p.rrc_size_hw / c) - 0.5  # (g,g,2)
+    sm = (s + 0.5) / factor - 0.5 if factor > 1 else s  # mip coords
+    if win < mip_size:
+        start = jnp.floor(jnp.min(sm.reshape(-1, 2), axis=0)) - 1.0
+        start = jnp.clip(start, 0.0, mip_size - win).astype(jnp.int32)
+        # floor-align to 16 (mip sizes and win are multiples of 16, so the
+        # upper clip stays aligned); the 16 px window slack covers the shift
+        start = (start // 16) * 16
+    else:
+        start = jnp.zeros((2,), jnp.int32)
+    rel = sm.reshape(-1, 2) - start.astype(jnp.float32)[None, :]
+    return rel, start, keep, oob
+
+
+def _matmul_batch(mips: dict, p: AugParams, noise_keys: jnp.ndarray,
+                  cfg: RetinaConfig, photometric: bool) -> jnp.ndarray:
+    """Batched matmul retina over a precomputed mip pyramid.
+
+    Every pyramid level samples a static-size window bounding the glimpse's
+    source footprint out of its mip via a dense hat-weight contraction — the
+    matmuls never touch pixels the glimpse cannot see. On TPU the slice +
+    weight-build + contraction runs as one fused Pallas kernel
+    (:func:`multimodal_active_ai_tpu.ops.pallas_retina.hat_sample`);
+    elsewhere the XLA einsum formulation is used.
+    """
+    from multimodal_active_ai_tpu.ops import pallas_retina
+
+    g = cfg.glimpse_size
     factors = _mip_levels(cfg)
+    batch = next(iter(mips.values())).shape[0]
+    on_tpu = jax.default_backend() == "tpu"
+    sampler = (pallas_retina.hat_sample if (cfg.use_pallas and on_tpu)
+               else pallas_retina.hat_sample_xla)
 
     glimpses = []
     for li, crop_size in enumerate(cfg.crop_sizes):
-        # glimpse pixel centers -> source coords (same chain as the fused path,
-        # ss=1: the mip prefilter replaces supersampling)
-        base = (jnp.arange(g, dtype=jnp.float32) + 0.5) * (crop_size / g) - 0.5
-        origin = p.fix_yx * (c - crop_size)
-        yy = base[:, None] + origin[0]
-        xx = base[None, :] + origin[1]
-        yy = jnp.broadcast_to(yy, (g, g))
-        xx = jnp.broadcast_to(xx, (g, g))
-        x_f = jnp.where(p.flip, (c - 1.0) - xx, xx)
-        coords = jnp.stack([yy, x_f], axis=-1)
-        keep = image_ops.grid_mask_keep(coords, p.angle, p.fix_yx, p.gm_ratio,
-                                        p.gm_tile)
-        a = image_ops.rotate_coords(coords, -p.angle, center)
-        oob = jnp.logical_or(jnp.any(a < -0.5, -1), jnp.any(a > c - 0.5, -1))
-        s = p.rrc_origin_yx + (a + 0.5) * (p.rrc_size_hw / c) - 0.5  # (g,g,2)
-
         factor = factors[crop_size]
         m = mips[factor]
-        sm = (s + 0.5) / factor - 0.5 if factor > 1 else s  # mip coords
-        mip_size = m.shape[0]
+        mip_size = m.shape[1]
         win = _window_size(crop_size, factor, mip_size)
-        if win < mip_size:
-            start = jnp.floor(jnp.min(sm.reshape(-1, 2), axis=0)) - 1.0
-            start = jnp.clip(start, 0.0, mip_size - win).astype(jnp.int32)
-            patch = jax.lax.dynamic_slice(m, (start[0], start[1], 0),
-                                          (win, win, 3))
-            rel = sm - start.astype(jnp.float32)[None, None, :]
-        else:
-            patch = m
-            rel = sm
-        wy = _hat(rel[..., 0].reshape(-1), patch.shape[0])  # (P, win)
-        wx = _hat(rel[..., 1].reshape(-1), patch.shape[1])  # (P, win)
-
-        # two-stage contraction: rows then columns, fp32 accumulation
-        tmp = jnp.einsum("pu,uvc->pvc", wy.astype(jnp.bfloat16),
-                         patch.astype(jnp.bfloat16),
-                         preferred_element_type=jnp.float32)
-        v = jnp.einsum("pvc,pv->pc", tmp, wx,
-                       preferred_element_type=jnp.float32)
-        v = v.reshape(g, g, 3)
+        rel, start, keep, oob = jax.vmap(
+            functools.partial(_matmul_level_plan, cfg=cfg,
+                              crop_size=crop_size, factor=factor,
+                              mip_size=mip_size, win=win))(p)
+        v = sampler(m, rel, start, win)
+        v = v.reshape(batch, g, g, 3)
         v = jnp.where(oob[..., None], 0.0, v) * keep[..., None]
         if photometric:
-            nk = jax.random.fold_in(noise_key, li)
-            v = image_ops.add_gaussian_noise(v, nk, p.noise_mean, p.noise_std)
+            nk = jax.vmap(lambda k: jax.random.fold_in(k, li))(noise_keys)
+            v = jax.vmap(image_ops.add_gaussian_noise)(
+                v, nk, p.noise_mean, p.noise_std)
         glimpses.append(v)
 
     out = jnp.concatenate(glimpses, axis=-1)
     if photometric:
         out3 = out.reshape(*out.shape[:-1], len(cfg.crop_sizes), 3)
-        out3 = image_ops.apply_color_twist(out3, p.brightness, p.contrast,
-                                           p.hue, p.saturation)
+        out3 = jax.vmap(image_ops.apply_color_twist)(
+            out3, p.brightness, p.contrast, p.hue, p.saturation)
         out = out3.reshape(out.shape)
     return out
 
@@ -464,8 +473,7 @@ def apply_retina(images: jnp.ndarray | None, params: AugParams, key: jax.Array,
     if cfg.mode == "matmul":
         if pyramid is None:
             pyramid = build_pyramid(images, cfg)
-        fn = functools.partial(_matmul_single, cfg=cfg, photometric=photometric)
-        return jax.vmap(fn)(pyramid, params, noise_keys)
+        return _matmul_batch(pyramid, params, noise_keys, cfg, photometric)
     images = images.astype(jnp.float32)
     single = {"fused": _fused_single, "canvas": _canvas_single}[cfg.mode]
     fn = functools.partial(single, cfg=cfg, photometric=photometric)
