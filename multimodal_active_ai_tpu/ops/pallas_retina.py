@@ -128,6 +128,141 @@ def hat_sample(mip: jnp.ndarray, rel: jnp.ndarray, start: jnp.ndarray,
     return out[:, :p_dim]
 
 
+def _glimpse_kernel(*refs, wins: tuple, msizes: tuple, chunk: int):
+    """All pyramid levels of one image in one program.
+
+    refs = (start, rel, scale, mip_0..mip_{L-1}, out, rows_0..rows_{L-1},
+    sems). Fusing the levels (vs one :func:`hat_sample` per level) removes
+    ~10 small XLA ops per view — per-level pads, mask multiplies, reshapes
+    and the channel concat — each of which costs ~0.18 ms of fixed launch
+    overhead on the bench chip. Mips stay in HBM; each level async-DMAs
+    only the ``win`` rows its window needs (all DMAs issued up front so
+    transfers overlap the contractions) — streaming whole mips as grid
+    blocks both overflows VMEM and wastes ~6× HBM bandwidth.
+    """
+    levels = len(wins)
+    start_ref, rel_ref, scale_ref = refs[0], refs[1], refs[2]
+    mip_refs = refs[3:3 + levels]
+    out_ref = refs[3 + levels]
+    row_bufs = refs[4 + levels:4 + 2 * levels]
+    sems = refs[4 + 2 * levels]
+    b = pl.program_id(0)
+    p_dim = rel_ref.shape[2]
+
+    dmas = []
+    for li in range(levels):
+        sy = pl.multiple_of(start_ref[b, li, 0], 8)
+        dma = pltpu.make_async_copy(
+            mip_refs[li].at[b, pl.ds(sy, wins[li]), :],
+            row_bufs[li], sems.at[li])
+        dma.start()
+        dmas.append(dma)
+
+    cols = []
+    for li in range(levels):
+        win, m = wins[li], msizes[li]
+        sx = start_ref[b, li, 1]
+        dmas[li].wait()
+        rows = row_bufs[li][...]                     # (win, M*3) bf16
+        rel = rel_ref[0, li]                         # (P, 2) f32
+        scale = scale_ref[0, li]                     # (P,) f32
+
+        idx = jax.lax.broadcasted_iota(jnp.int32, (p_dim, win), 1).astype(jnp.float32)
+        ry = jnp.clip(rel[:, 0:1], 0.0, win - 1.0)
+        wy16 = jnp.maximum(0.0, 1.0 - jnp.abs(ry - idx)).astype(jnp.bfloat16)
+        sxf = sx.astype(jnp.float32)
+        rxa = jnp.clip(rel[:, 1:2] + sxf, sxf, sxf + win - 1.0)
+
+        width = m * 3
+        accs = [jnp.zeros((p_dim, 1), jnp.float32) for _ in range(3)]
+        for k0 in range(0, width, chunk):
+            k1 = min(k0 + chunk, width)
+            patch = rows[:, k0:k1]
+            tmp = jax.lax.dot_general(
+                wy16, patch,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            col = jax.lax.broadcasted_iota(jnp.int32, (p_dim, k1 - k0), 1) + k0
+            v = (col // 3).astype(jnp.float32)
+            c = col % 3
+            wx3 = jnp.maximum(0.0, 1.0 - jnp.abs(rxa - v))
+            prod = tmp * wx3
+            accs = [a + jnp.sum(jnp.where(c == ch, prod, 0.0), axis=1,
+                                keepdims=True)
+                    for ch, a in enumerate(accs)]
+        sc = scale[:, None]
+        cols.extend(a * sc for a in accs)
+    out_ref[0] = jnp.concatenate(cols, axis=1)       # (P, 3L)
+
+
+@functools.partial(jax.jit, static_argnames=("wins", "msizes", "interpret"))
+def glimpse_sample(mips: tuple, rel: jnp.ndarray, start: jnp.ndarray,
+                   scale: jnp.ndarray, wins: tuple, msizes: tuple,
+                   interpret: bool = False) -> jnp.ndarray:
+    """Fused multi-level glimpse sampling: one kernel for the whole pyramid.
+
+    Args:
+      mips: per-level channel-flattened mips, each ``(B, M_l, ≥M_l*3)`` bf16
+        (width zero-padded to a 128 multiple, as ``retina.build_pyramid``
+        stores them — Mosaic DMA requires 128-aligned lane widths).
+      rel: ``(B, L, P, 2)`` window-relative sample coords.
+      start: ``(B, L, 2)`` int32 window origins (y 8-aligned).
+      scale: ``(B, L, P)`` per-point multipliers (grid-mask keep × in-bounds).
+      wins: static per-level window sides.
+      msizes: static per-level logical mip sides ``M_l``.
+
+    Returns ``(B, P, 3L)`` float32 — the glimpse stack, scale-major channel
+    order as ``SimCLR/SimCLR.py:24`` stacks it.
+    """
+    b, levels, p_dim, _ = rel.shape
+    p_pad = _round_up(p_dim, 8)
+    if p_pad != p_dim:
+        rel = jnp.pad(rel, ((0, 0), (0, 0), (0, p_pad - p_dim), (0, 0)))
+        scale = jnp.pad(scale, ((0, 0), (0, 0), (0, p_pad - p_dim)))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, levels, p_pad, 2), lambda i, *_: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, levels, p_pad), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ] + [
+            pl.BlockSpec(memory_space=pl.ANY)        # mips stay in HBM
+            for _ in msizes
+        ],
+        out_specs=pl.BlockSpec((1, p_pad, 3 * levels),
+                               lambda i, *_: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((w, mip.shape[2]), jnp.bfloat16)
+            for w, mip in zip(wins, mips)
+        ] + [pltpu.SemaphoreType.DMA((levels,))],
+    )
+    out = pl.pallas_call(
+        functools.partial(_glimpse_kernel, wins=wins, msizes=msizes,
+                          chunk=512),
+        out_shape=jax.ShapeDtypeStruct((b, p_pad, 3 * levels), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(start, rel, scale, *[m.astype(jnp.bfloat16) for m in mips])
+    return out[:, :p_dim]
+
+
+def glimpse_sample_xla(mips: tuple, rel: jnp.ndarray, start: jnp.ndarray,
+                       scale: jnp.ndarray, wins: tuple,
+                       msizes: tuple | None = None) -> jnp.ndarray:
+    """XLA fallback for :func:`glimpse_sample` (per-level einsum sampling)."""
+    outs = []
+    for li, (m, win) in enumerate(zip(mips, wins)):
+        if msizes is not None:
+            m = m[:, :, :msizes[li] * 3]  # drop lane padding
+        v = hat_sample_xla(m, rel[:, li], start[:, li], win)
+        outs.append(v * scale[:, li][..., None])
+    return jnp.concatenate(outs, axis=-1)
+
+
 def hat_sample_xla(mip: jnp.ndarray, rel: jnp.ndarray, start: jnp.ndarray,
                    win: int) -> jnp.ndarray:
     """XLA reference/fallback: identical math via dynamic_slice + einsums.

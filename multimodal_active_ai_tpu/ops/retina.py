@@ -301,22 +301,32 @@ def build_pyramid(images: jnp.ndarray, cfg: RetinaConfig) -> dict:
     and reuses it across all ``1 + num_fixations`` retina passes. This is
     the prefilter equivalent of DALI's triangle-filter downscale.
 
-    Mips are stored channel-flattened ``(B, M, M*3)``: that is the layout
+    Mips are stored channel-flattened ``(B, M, ≥M*3)``: that is the layout
     the samplers contract against, and on TPU a ``(M, 3) -> (M*3,)``
     reshape is a physical re-tiling copy — storing flat once avoids paying
-    it again in every view.
+    it again in every view. The width is zero-padded up to a multiple of
+    128 lanes (Mosaic DMA requirement); padded columns sit beyond the last
+    pixel so no in-range hat weight ever touches them.
     """
+
+    def flat(x, h, w):
+        x = x.reshape(x.shape[0], h, w * 3)
+        pad = -(w * 3) % 128
+        if pad:
+            x = jnp.pad(x, ((0, 0), (0, 0), (0, pad)))
+        return x
+
     factors = set(_mip_levels(cfg).values())
     m = images.astype(jnp.bfloat16)
     b, h, w, c = m.shape
-    mips = {1: m.reshape(b, h, w * c)}
+    mips = {1: flat(m, h, w)}
     f = 1
     while f < max(factors):
         m = m.reshape(b, h // 2, 2, w // 2, 2, c).mean(axis=(2, 4))
         h //= 2
         w //= 2
         f *= 2
-        mips[f] = m.reshape(b, h, w * c)
+        mips[f] = flat(m, h, w)
     return mips
 
 
@@ -381,37 +391,52 @@ def _matmul_batch(mips: dict, p: AugParams, noise_keys: jnp.ndarray,
     from multimodal_active_ai_tpu.ops import pallas_retina
 
     g = cfg.glimpse_size
+    levels = len(cfg.crop_sizes)
     factors = _mip_levels(cfg)
     batch = next(iter(mips.values())).shape[0]
     on_tpu = jax.default_backend() == "tpu"
-    sampler = (pallas_retina.hat_sample if (cfg.use_pallas and on_tpu)
-               else pallas_retina.hat_sample_xla)
+    sampler = (pallas_retina.glimpse_sample if (cfg.use_pallas and on_tpu)
+               else pallas_retina.glimpse_sample_xla)
 
-    glimpses = []
-    for li, crop_size in enumerate(cfg.crop_sizes):
+    level_mips, wins, msizes, rels, starts, scales = [], [], [], [], [], []
+    for crop_size in cfg.crop_sizes:
         factor = factors[crop_size]
         m = mips[factor]
         mip_size = m.shape[1]
+        msizes.append(mip_size)
         win = _window_size(crop_size, factor, mip_size)
         rel, start, keep, oob = jax.vmap(
             functools.partial(_matmul_level_plan, cfg=cfg,
                               crop_size=crop_size, factor=factor,
                               mip_size=mip_size, win=win))(p)
-        v = sampler(m, rel, start, win)
-        v = v.reshape(batch, g, g, 3)
-        v = jnp.where(oob[..., None], 0.0, v) * keep[..., None]
-        if photometric:
-            nk = jax.vmap(lambda k: jax.random.fold_in(k, li))(noise_keys)
-            v = jax.vmap(image_ops.add_gaussian_noise)(
-                v, nk, p.noise_mean, p.noise_std)
-        glimpses.append(v)
+        level_mips.append(m)
+        wins.append(win)
+        rels.append(rel)
+        starts.append(start)
+        # fold grid-mask keep and rotation out-of-bounds into one multiplier
+        scales.append((keep * (1.0 - oob.astype(jnp.float32))
+                       ).reshape(batch, -1))
 
-    out = jnp.concatenate(glimpses, axis=-1)
+    v = sampler(tuple(level_mips), jnp.stack(rels, 1), jnp.stack(starts, 1),
+                jnp.stack(scales, 1), tuple(wins), tuple(msizes))  # (B,P,3L)
+    out = v.reshape(batch, g, g, 3 * levels)
+
     if photometric:
-        out3 = out.reshape(*out.shape[:-1], len(cfg.crop_sizes), 3)
-        out3 = jax.vmap(image_ops.apply_color_twist)(
-            out3, p.brightness, p.contrast, p.hue, p.saturation)
-        out = out3.reshape(out.shape)
+        # one iid normal draw over all levels is distributionally identical
+        # to per-level draws (the reference adds noise pre-pyramid; per-level
+        # iid is the documented divergence either way)
+        out = jax.vmap(image_ops.add_gaussian_noise)(
+            out, noise_keys, p.noise_mean, p.noise_std)
+        # ColorTwist as ONE lane matmul: block-diagonal (3L x 3L) matrix
+        # applies the per-image 3x3 twist within each level without any
+        # (..., L, 3) reshape (a physical re-tiling copy on TPU)
+        m3, b3 = jax.vmap(image_ops.color_twist_matrix)(
+            p.brightness, p.contrast, p.hue, p.saturation)
+        eye = jnp.eye(levels, dtype=m3.dtype)
+        m_big = jax.vmap(functools.partial(jnp.kron, eye))(m3)  # (B, 3L, 3L)
+        b_big = jnp.tile(b3, (1, levels))                       # (B, 3L)
+        out = (jnp.einsum("bhwc,bdc->bhwd", out, m_big)
+               + b_big[:, None, None, :])
     return out
 
 

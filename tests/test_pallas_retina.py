@@ -45,3 +45,30 @@ def test_pallas_nonmultiple_of_8_rows(rng):
     ref = pallas_retina.hat_sample_xla(mip, rel, start, win)
     np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
                                rtol=1e-2, atol=1e-1)
+
+
+def test_fused_glimpse_sample_matches_composition(rng):
+    """glimpse_sample (all levels, one kernel) == per-level hat_sample_xla
+    with the scale multipliers applied."""
+    ks = jax.random.split(rng, 4)
+    b, p = 2, 20
+    mips, wins, rels, starts, scales = [], (16, 8), [], [], []
+    for li, (m, win) in enumerate([(32, 16), (16, 8)]):
+        mips.append((jax.random.uniform(ks[li], (b, m, m * 3)) * 255
+                     ).astype(jnp.bfloat16))
+        s = jax.random.randint(ks[li + 2], (b, 2), 0, m - win, dtype=jnp.int32)
+        starts.append(s.at[:, 0].set((s[:, 0] // 8) * 8))
+        rels.append(jax.random.uniform(jax.random.fold_in(rng, li), (b, p, 2))
+                    * (win - 1))
+        scales.append(jnp.linspace(0.0, 1.0, b * p).reshape(b, p) + 0.1 * li)
+    rel = jnp.stack(rels, 1)
+    start = jnp.stack(starts, 1)
+    scale = jnp.stack(scales, 1)
+    msizes = (32, 16)
+    fused = pallas_retina.glimpse_sample(tuple(mips), rel, start, scale, wins,
+                                         msizes, interpret=True)
+    ref = pallas_retina.glimpse_sample_xla(tuple(mips), rel, start, scale,
+                                           wins, msizes)
+    assert fused.shape == (b, p, 6)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(ref),
+                               rtol=1e-2, atol=1e-1)
