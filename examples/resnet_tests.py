@@ -6,6 +6,12 @@ the legacy 15-channel ResNet on a (1, 20, 30, 15) input and the 1-D ResNet
 on a (1, 5000, 1) signal.
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
 import jax
 import jax.numpy as jnp
 

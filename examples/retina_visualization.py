@@ -12,6 +12,12 @@ Usage::
     python examples/retina_visualization.py [IMAGE] [--fix-x 0.3 --fix-y 0.7]
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
 from __future__ import annotations
 
 import argparse
