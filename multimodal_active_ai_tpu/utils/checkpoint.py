@@ -36,8 +36,12 @@ def save_checkpoint(state: dict, is_best: bool,
                     filename: str = "checkpoint.msgpack",
                     best_filename: str = "model_best.msgpack") -> None:
     """Write ``state`` and copy to the best file when ``is_best``
-    (``Model_Util.py:95-99``). Call only from process 0."""
-    payload = serialization.msgpack_serialize(_to_host(state))
+    (``Model_Util.py:95-99``). Call only from process 0.
+
+    ``to_state_dict`` first: optimizer states are tuples/namedtuples
+    (optax chains), which msgpack cannot serialize directly."""
+    payload = serialization.msgpack_serialize(
+        serialization.to_state_dict(_to_host(state)))
     tmp = filename + ".tmp"
     with open(tmp, "wb") as f:
         f.write(payload)
@@ -54,14 +58,27 @@ def load_checkpoint(filename: str) -> dict:
 
 def restore_like(template, state):
     """Restore a host-loaded checkpoint subtree onto a template pytree
-    (shape/dtype donors), keeping the template's structure."""
-    flat_t, treedef = jax.tree.flatten(template)
-    flat_s = jax.tree.leaves(state)
-    if len(flat_t) != len(flat_s):
-        raise ValueError(f"checkpoint/template leaf mismatch: {len(flat_s)} vs {len(flat_t)}")
-    return jax.tree.unflatten(treedef, [
-        jnp.asarray(s, dtype=t.dtype).reshape(t.shape) for t, s in zip(flat_t, flat_s)
-    ])
+    (shape/dtype donors), keeping the template's structure.
+
+    ``state`` may be the template's own pytree type or the nested-dict
+    state-dict form :func:`save_checkpoint` writes (tuples appear as
+    string-indexed dicts; ``from_state_dict`` maps them back in order —
+    naive leaf zipping would sort "10" before "2")."""
+    try:
+        restored = serialization.from_state_dict(template, state)
+        return jax.tree.map(
+            lambda t, s: jnp.asarray(s, dtype=t.dtype).reshape(t.shape),
+            template, restored)
+    except (KeyError, ValueError, TypeError):
+        flat_t, treedef = jax.tree.flatten(template)
+        flat_s = jax.tree.leaves(state)
+        if len(flat_t) != len(flat_s):
+            raise ValueError("checkpoint/template leaf mismatch: "
+                             f"{len(flat_s)} vs {len(flat_t)}")
+        return jax.tree.unflatten(treedef, [
+            jnp.asarray(s, dtype=t.dtype).reshape(t.shape)
+            for t, s in zip(flat_t, flat_s)
+        ])
 
 
 # ---------------------------------------------------------------------------

@@ -103,3 +103,31 @@ def test_detr_and_rls_cli_defaults():
                                  "--num-of-actions", "50"])
     assert cfg.backbone_path == "/ckpt" and cfg.dqn == "ResNet34"
     assert cfg.num_of_actions == 50
+
+
+def test_checkpoint_roundtrip_with_optax_state(tmp_path):
+    """Full driver-schema checkpoint (incl. tuple-structured optax chain
+    state) must round-trip through msgpack — the bug the workflow smoke
+    caught: msgpack cannot serialize tuples directly."""
+    import optax
+    from multimodal_active_ai_tpu.utils import checkpoint as ckpt
+
+    params = {"w": jnp.arange(6.0).reshape(2, 3), "b": jnp.zeros((3,))}
+    tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(1e-3))
+    opt_state = tx.init(params)
+    path = str(tmp_path / "checkpoint.msgpack")
+    ckpt.save_checkpoint({
+        "epoch": 3,
+        "state_dict": {"params": params},
+        "best_prec1": 12.5,
+        "optimizer": opt_state,
+        "loss_history": np.asarray([1.0, 0.5]),
+    }, is_best=False, filename=path)
+    payload = ckpt.load_checkpoint(path)
+    assert int(payload["epoch"]) == 3
+    restored_params = ckpt.restore_like(params, payload["state_dict"]["params"])
+    np.testing.assert_array_equal(np.asarray(restored_params["w"]),
+                                  np.asarray(params["w"]))
+    restored_opt = ckpt.restore_like(opt_state, payload["optimizer"])
+    for a, b in zip(jax.tree.leaves(restored_opt), jax.tree.leaves(opt_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
