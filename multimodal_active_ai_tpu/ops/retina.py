@@ -22,15 +22,19 @@ sampled from a traced PRNG key (:func:`sample_unlabeled_params`), and the
 whole pipeline is a pure jittable function, so the saccade loop can live
 inside ``lax.scan`` on device.
 
-Two execution modes:
+Three execution modes:
 
-* ``fused`` (default, fast): every geometric stage is composed into one
-  inverse affine map per (image, pyramid level), and only the 4×30×30 output
-  pixels are sampled — with per-pixel supersampled averaging approximating
-  DALI's triangle-filter downscale. Photometric ops are linear per-pixel
-  transforms, so applying them after the average is exact; Gaussian noise is
-  added post-average (mean-exact; per-glimpse-pixel variance is higher than
-  the reference's noise-then-downscale — documented divergence).
+* ``matmul`` (default, production): geometric stages compose into sampling
+  coordinates; a shared per-batch mip pyramid (:func:`build_pyramid`)
+  provides the antialiasing prefilter, and each view samples static-size
+  windows of it via dense hat-weight contractions — on TPU as one fused
+  Pallas kernel for the whole pyramid
+  (:func:`multimodal_active_ai_tpu.ops.pallas_retina.glimpse_sample`),
+  elsewhere as XLA einsums. Gaussian noise is added post-average
+  (mean-exact; per-glimpse-pixel variance is higher than the reference's
+  noise-then-downscale — documented divergence shared with ``fused``).
+* ``fused`` (gather-based): the same composed-coordinate idea with explicit
+  per-pixel supersampled averaging in place of the mip prefilter.
 * ``canvas`` (exact, slow): materializes the full 640×640 canvas per view and
   applies each stage like DALI does, including antialiased pyramid resizes.
   Used for golden tests and quality validation.

@@ -126,3 +126,30 @@ def test_synthetic_reader_reset_replays_epoch():
     assert len(first) == 2
     for a, b in zip(first, second):
         np.testing.assert_array_equal(a, b)
+
+
+def test_native_decoder_matches_pil(tmp_path):
+    """C++ runtime decode (libjpeg + DCT prescale + bilinear) stays close to
+    PIL's decode+bilinear on a smooth image; skipped when g++/libjpeg are
+    unavailable to build the library."""
+    from PIL import Image
+    from multimodal_active_ai_tpu.data import native
+
+    if not native.available():
+        import pytest
+        pytest.skip("native runtime not built (no g++/libjpeg)")
+    ramp = np.linspace(0, 255, 200 * 300 * 3).reshape(200, 300, 3)
+    arr = ramp.astype(np.uint8)
+    p = str(tmp_path / "t.jpg")
+    Image.fromarray(arr).save(p, quality=95)
+    out = native.decode_resize(p, 64)
+    assert out is not None and out.shape == (64, 64, 3)
+    pil = np.asarray(Image.open(p).convert("RGB").resize((64, 64),
+                                                         Image.BILINEAR))
+    assert np.abs(out.astype(int) - pil.astype(int)).mean() < 8.0
+
+    batch = np.empty((3, 64, 64, 3), np.uint8)
+    ok = native.decode_batch([p, p, str(tmp_path / "missing.jpg")], 64, batch,
+                             num_threads=2)
+    assert list(ok) == [True, True, False]
+    np.testing.assert_array_equal(batch[0], batch[1])
