@@ -225,7 +225,7 @@ def main(argv=None):
         train_reader.reset()
         total_time.update(batch_time.avg)
 
-        prec1, prec5 = run_validation(epoch_key)
+        prec1, prec5 = run_validation(jax.random.fold_in(rng, 70_000 + epoch))
         if jax.process_index() == 0:
             is_best = prec1 > best_prec1
             best_prec1 = max(prec1, best_prec1)

@@ -40,12 +40,14 @@ def make_caption_probe_train_step(encoder_model, head_model, text_model, mesh,
     head + text tower (encoder stays frozen). GSPMD data parallelism."""
 
     def step(state: TrainState, enc_variables, images, tokens, key):
+        k_img, k_drop = jax.random.split(key)
+
         def loss_fn(params):
             img_emb = image_tower(encoder_model, enc_variables,
                                   params["image_head"], head_model, images,
-                                  key, retina_cfg, num_fixations)
+                                  k_img, retina_cfg, num_fixations)
             txt_emb = text_model.apply({"params": params["text"]}, tokens,
-                                       train=True)
+                                       train=True, rngs={"dropout": k_drop})
             # full differentiable gather: both towers receive gradient
             loss, logits_it, labels = contrastive_loss(
                 img_emb, txt_emb, temperature=temperature,
