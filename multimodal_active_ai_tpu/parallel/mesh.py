@@ -130,3 +130,36 @@ def data_parallel_jit(fn, mesh: Mesh | None, batch_args: Sequence[int],
                        for i in range(num_outputs))
     return jax.jit(fn, in_shardings=in_sh, out_shardings=out_sh,
                    donate_argnums=tuple(donate_argnums))
+
+
+def create_hybrid_mesh(data_per_slice: int | None = None, model: int = 1,
+                       verbose: bool = False) -> Mesh:
+    """Multi-slice mesh: data parallelism across slices over DCN, data(+model)
+    within a slice over ICI.
+
+    The reference scales across nodes with MPI+NCCL over the datacenter
+    network (``Contrastive_Learning.py:62-93``); the TPU equivalent is a
+    hybrid mesh in which the *outer* data axis maps to DCN (slice-to-slice)
+    and inner axes stay on ICI, so gradient all-reduces hierarchically
+    reduce within a slice before crossing slices. Falls back to
+    :func:`create_mesh` on single-slice/CPU topologies.
+    """
+    from jax.experimental import mesh_utils
+
+    devices = jax.devices()
+    num_slices = len({getattr(d, "slice_index", 0) for d in devices})
+    if num_slices <= 1:
+        return create_mesh(data=data_per_slice, model=model)
+    per_slice = len(devices) // num_slices
+    if data_per_slice is None:
+        data_per_slice = per_slice // model
+    dev_array = mesh_utils.create_hybrid_device_mesh(
+        mesh_shape=(data_per_slice, model),
+        dcn_mesh_shape=(num_slices, 1),
+        devices=devices)
+    mesh = Mesh(dev_array.reshape(num_slices * data_per_slice, model),
+                (DATA_AXIS, MODEL_AXIS))
+    if verbose:
+        print(f"hybrid mesh: {num_slices} slices x {data_per_slice} data "
+              f"x {model} model")
+    return mesh

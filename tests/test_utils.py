@@ -131,3 +131,13 @@ def test_checkpoint_roundtrip_with_optax_state(tmp_path):
     restored_opt = ckpt.restore_like(opt_state, payload["optimizer"])
     for a, b in zip(jax.tree.leaves(restored_opt), jax.tree.leaves(opt_state)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_create_hybrid_mesh_single_slice_fallback():
+    """On a single-slice (CPU) topology the hybrid mesh is the plain mesh."""
+    from multimodal_active_ai_tpu.parallel.mesh import (
+        DATA_AXIS, MODEL_AXIS, create_hybrid_mesh)
+
+    mesh = create_hybrid_mesh()
+    assert set(mesh.axis_names) == {DATA_AXIS, MODEL_AXIS}
+    assert mesh.size == len(jax.devices())
