@@ -29,6 +29,17 @@ Design stance (TPU-first, not a port):
   executor plays for the reference.
 """
 
+import os as _os
+
+# Some TPU platform plugins take priority over the JAX_PLATFORMS env var.
+# MAAI_PLATFORM forces the platform through jax.config before first backend
+# use (e.g. MAAI_PLATFORM=cpu to run the CLI drivers on the host), the same
+# mechanism the test conftest uses.
+if _os.environ.get("MAAI_PLATFORM"):
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _os.environ["MAAI_PLATFORM"])
+
 from multimodal_active_ai_tpu.version import __version__
 
 __all__ = ["__version__"]

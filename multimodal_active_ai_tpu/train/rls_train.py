@@ -160,7 +160,10 @@ def make_dqn_update_step(dqn_model, num_of_actions: int, gamma: float):
         policy_state = policy_state.apply_gradients(grads=grads)
         return policy_state, loss
 
-    return jax.jit(step, donate_argnums=(0,))
+    # no donation: right after a target sync, ``target_variables`` aliases
+    # the policy params — donating the state would free buffers the same
+    # call still reads (`f(donate(a), a)`)
+    return jax.jit(step)
 
 
 def sync_target(policy_state: TrainState):

@@ -87,3 +87,30 @@ def test_random_action_range(rng):
     a = select_random_action(rng, 64)
     assert a.shape == (64, 2)
     assert (np.asarray(a) >= 0).all() and (np.asarray(a) < 1).all()
+
+
+def test_dqn_update_after_target_sync_aliasing(rng):
+    """Regression: ``sync_target`` returns views of the policy params; the
+    DQN update must not donate the policy state or the next update after a
+    sync fails with `f(donate(a), a)` (found by the workflow smoke)."""
+    import optax
+    from multimodal_active_ai_tpu.models.qnet import build_dqn
+    from multimodal_active_ai_tpu.train import rls_train
+    from multimodal_active_ai_tpu.train.simclr_train import TrainState
+
+    dqn = build_dqn(arch="ResNet18", num_of_actions=10, axis_name=None,
+                    norm_kind="bn")
+    g = jnp.ones((2, 30, 30, 12))
+    variables = dqn.init(rng, g, train=False)
+    state = TrainState.create(apply_fn=dqn.apply,
+                              params=variables["params"],
+                              tx=optax.rmsprop(1e-3),
+                              batch_stats=variables.get("batch_stats", {}))
+    update = rls_train.make_dqn_update_step(dqn, num_of_actions=10, gamma=0.9)
+    target = rls_train.sync_target(state)  # aliases state.params
+    tr = (jnp.ones((4, 30, 30, 12)), jnp.zeros((4, 2), jnp.int32),
+          jnp.ones((4, 30, 30, 12)), jnp.ones((4,)))
+    state, loss1 = update(state, target, tr)
+    target = rls_train.sync_target(state)
+    state, loss2 = update(state, target, tr)  # crashed before the fix
+    assert np.isfinite(float(loss1)) and np.isfinite(float(loss2))
