@@ -50,10 +50,12 @@ class AverageMeter:
         }
 
     def load_state_dict(self, state):
-        self.val = state["val"]
-        self.avg = state["avg"]
-        self.sum = state["sum"]
-        self.count = state["count"]
+        # cast to python floats: msgpack-restored scalars arrive as
+        # read-only numpy arrays, which would make `sum += ...` raise
+        self.val = float(state["val"])
+        self.avg = float(state["avg"])
+        self.sum = float(state["sum"])
+        self.count = float(state["count"])
 
 
 def mean_across_replicas(value, axis_name: str | None = None):

@@ -141,3 +141,19 @@ def test_create_hybrid_mesh_single_slice_fallback():
     mesh = create_hybrid_mesh()
     assert set(mesh.axis_names) == {DATA_AXIS, MODEL_AXIS}
     assert mesh.size == len(jax.devices())
+
+
+def test_meter_resumes_from_readonly_state():
+    """Regression: msgpack-restored scalars are read-only numpy arrays; the
+    meter must keep accumulating after load_state_dict (resume path)."""
+    from multimodal_active_ai_tpu.utils.meters import AverageMeter
+
+    m = AverageMeter()
+    m.update(2.0, 3)
+    state = {k: np.asarray(v) for k, v in m.state_dict().items()}
+    for v in state.values():
+        v.setflags(write=False)
+    m2 = AverageMeter()
+    m2.load_state_dict(state)
+    m2.update(4.0)  # raised ValueError before the fix
+    assert m2.count == 4 and abs(m2.avg - 2.5) < 1e-9
