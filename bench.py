@@ -56,7 +56,9 @@ def main():
     global_batch = batch_per_chip * (mesh.shape[DATA_AXIS] if mesh else 1)
     sched = schedule.simclr_learning_rate(0.01, global_batch, 1_281_167,
                                           batch_per_chip, 10, 190)
-    tx = optimizers.get_optimizer("lars", sched)
+    # the reference driver's default optimizer (Contrastive_Learning.py:138)
+    opt_name = os.environ.get("BENCH_OPT", "adam")
+    tx = optimizers.get_optimizer(opt_name, sched)
     rng = jax.random.PRNGKey(0)
     sample = jnp.ones((2, cfg.glimpse_size, cfg.glimpse_size, cfg.num_channels))
     state = simclr_train.create_train_state(model, tx, rng, sample)
