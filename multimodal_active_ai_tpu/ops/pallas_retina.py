@@ -149,14 +149,29 @@ def _glimpse_kernel(*refs, wins: tuple, msizes: tuple, chunk: int):
     b = pl.program_id(0)
     p_dim = rel_ref.shape[2]
 
-    dmas = []
+    dmas, sxas = [], []
     for li in range(levels):
         sy = pl.multiple_of(start_ref[b, li, 0], 8)
-        dma = pltpu.make_async_copy(
-            mip_refs[li].at[b, pl.ds(sy, wins[li]), :],
-            row_bufs[li], sems.at[li])
+        wpx = row_bufs[li].shape[1] // 3   # column-window pixels
+        if wpx < msizes[li]:
+            # column window: 128-px-aligned origin covering the footprint
+            # (lane offsets must be 128-aligned AND a multiple of 3 to keep
+            # the channel interleave phase -> pixel origin multiple of 128)
+            sx = start_ref[b, li, 1]
+            sxa = jnp.minimum((sx // 128) * 128, msizes[li] - wpx)
+            lane0 = pl.multiple_of(sxa * 3, 384)
+            dma = pltpu.make_async_copy(
+                mip_refs[li].at[b, pl.ds(sy, wins[li]),
+                                pl.ds(lane0, wpx * 3)],
+                row_bufs[li], sems.at[li])
+        else:
+            sxa = jnp.int32(0)
+            dma = pltpu.make_async_copy(
+                mip_refs[li].at[b, pl.ds(sy, wins[li]), :],
+                row_bufs[li], sems.at[li])
         dma.start()
         dmas.append(dma)
+        sxas.append(sxa)
 
     cols = []
     for li in range(levels):
@@ -172,8 +187,10 @@ def _glimpse_kernel(*refs, wins: tuple, msizes: tuple, chunk: int):
         wy16 = jnp.maximum(0.0, 1.0 - jnp.abs(ry - idx)).astype(jnp.bfloat16)
         sxf = sx.astype(jnp.float32)
         rxa = jnp.clip(rel[:, 1:2] + sxf, sxf, sxf + win - 1.0)
+        # pixel coords relative to the DMA'd column window
+        rxw = rxa - sxas[li].astype(jnp.float32)
 
-        width = m * 3
+        width = row_bufs[li].shape[1]
         accs = [jnp.zeros((p_dim, 1), jnp.float32) for _ in range(3)]
         for k0 in range(0, width, chunk):
             k1 = min(k0 + chunk, width)
@@ -185,7 +202,7 @@ def _glimpse_kernel(*refs, wins: tuple, msizes: tuple, chunk: int):
             col = jax.lax.broadcasted_iota(jnp.int32, (p_dim, k1 - k0), 1) + k0
             v = (col // 3).astype(jnp.float32)
             c = col % 3
-            wx3 = jnp.maximum(0.0, 1.0 - jnp.abs(rxa - v))
+            wx3 = jnp.maximum(0.0, 1.0 - jnp.abs(rxw - v))
             prod = tmp * wx3
             accs = [a + jnp.sum(jnp.where(c == ch, prod, 0.0), axis=1,
                                 keepdims=True)
@@ -236,7 +253,12 @@ def glimpse_sample(mips: tuple, rel: jnp.ndarray, start: jnp.ndarray,
                                lambda i, *_: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((w, mip.shape[2]), jnp.bfloat16)
+            # column-window the big mips: beyond 256 px the extra lanes are
+            # pure wasted VPU passes (wx3 is zero outside the footprint);
+            # 256 px = smallest 128-aligned span covering win + alignment
+            pltpu.VMEM((w, min(256, _round_up(mip.shape[2] // 3, 128)) * 3
+                        if mip.shape[2] // 3 >= 512 else mip.shape[2]),
+                       jnp.bfloat16)
             for w, mip in zip(wins, mips)
         ] + [pltpu.SemaphoreType.DMA((levels,))],
     )
