@@ -68,3 +68,35 @@ def test_captioner_shapes_and_causality(rng):
     np.testing.assert_allclose(np.asarray(logits[:, :3]),
                                np.asarray(logits2[:, :3]), atol=1e-5)
     assert np.abs(np.asarray(logits[:, 3]) - np.asarray(logits2[:, 3])).max() > 0
+
+
+def test_caption_probe_train_step_runs(rng):
+    """End-to-end caption-probe train step (regression: the text tower in
+    train mode needs a dropout rng threaded through the step)."""
+    import optax
+
+    from multimodal_active_ai_tpu.models import SimCLRModule
+    from multimodal_active_ai_tpu.models.mlp import MLP
+    from multimodal_active_ai_tpu.ops import retina
+    from multimodal_active_ai_tpu.train import caption_probe
+    from multimodal_active_ai_tpu.train.simclr_train import TrainState
+
+    cfg = retina.RetinaConfig(canvas_size=64, crop_sizes=(40, 24, 10, 30),
+                              glimpse_size=30, supersample=1)
+    enc = SimCLRModule(arch="ResNet18", axis_name=None, norm_kind="bn")
+    enc_vars = enc.init(rng, jnp.ones((2, 30, 30, 12)), train=False)
+    feat_dim = 512 * 4 * 4 * 2  # 2 fixations concatenated
+    head = MLP(hidden_dim=64, output_dim=32)
+    head_vars = head.init(rng, jnp.ones((2, feat_dim)))
+    text = TextEncoder(vocab_size=128, d_model=32, nhead=4, num_layers=1,
+                       dim_feedforward=64, out_dim=32)
+    text_vars = text.init(rng, jnp.zeros((2, 8), jnp.int32), train=False)
+    params = {"image_head": head_vars["params"], "text": text_vars["params"]}
+    state = TrainState.create(apply_fn=None, params=params,
+                              tx=optax.adam(1e-3), batch_stats={})
+    step = caption_probe.make_caption_probe_train_step(
+        enc, head, text, None, cfg, num_fixations=2, temperature=0.1)
+    images = jax.random.randint(rng, (4, 64, 64, 3), 0, 256).astype(jnp.uint8)
+    tokens = jax.random.randint(rng, (4, 8), 3, 128, dtype=jnp.int32)
+    state, m = step(state, enc_vars, images, tokens, rng)
+    assert np.isfinite(float(m["loss"]))
