@@ -34,6 +34,8 @@ from multimodal_active_ai_tpu.parallel.mesh import (
     DATA_AXIS,
     create_mesh,
     initialize_distributed,
+    make_global_array,
+    per_process_batch,
 )
 from multimodal_active_ai_tpu.train import caption_probe, optimizers, schedule
 from multimodal_active_ai_tpu.train.simclr_train import TrainState
@@ -99,8 +101,7 @@ def main(argv=None):
     cfg = parse_into(CaptionProbeConfig, argv, prog="COCO_Captions_Probe")
     initialize_distributed(verbose=cfg.verbose)
     mesh = create_mesh()
-    n_data = mesh.shape[DATA_AXIS]
-    global_batch = cfg.batch_size * n_data
+    global_batch, local_batch = per_process_batch(cfg.batch_size, mesh)
 
     retina_cfg = retina.RetinaConfig(canvas_size=cfg.canvas_size)
     encoder = SimCLRModule(arch=cfg.arch, axis_name=None, norm_kind="bn")
@@ -131,15 +132,17 @@ def main(argv=None):
 
     # data
     if cfg.dataset == "synthetic":
-        n = cfg.num_examples or 16 * cfg.batch_size
-        reader = SyntheticReader(cfg.batch_size, cfg.canvas_size,
+        n = cfg.num_examples or 16 * local_batch
+        reader = SyntheticReader(local_batch, cfg.canvas_size,
                                  num_examples=n, seed=cfg.seed)
         captions = None
     else:
         files, caps = load_caption_pairs(cfg)
         reader = HostLoader(files, list(range(len(files))),
-                            batch_size=cfg.batch_size,
+                            batch_size=local_batch,
                             canvas_size=cfg.canvas_size, shuffle=True,
+                            shard_id=jax.process_index(),
+                            num_shards=jax.process_count(),
                             seed=cfg.seed, num_threads=cfg.workers)
         captions = caps
 
@@ -153,7 +156,8 @@ def main(argv=None):
         return ids
 
     def put(x):
-        return jax.device_put(np.asarray(x), batch_sharding)
+        return make_global_array(x, batch_sharding) \
+            if isinstance(x, np.ndarray) else x
 
     for epoch in range(cfg.epochs):
         meters = {k: AverageMeter() for k in

@@ -39,6 +39,8 @@ from multimodal_active_ai_tpu.parallel.mesh import (
     DATA_AXIS,
     create_mesh,
     initialize_distributed,
+    make_global_array,
+    per_process_batch,
 )
 from multimodal_active_ai_tpu.train import optimizers, schedule, simclr_train
 from multimodal_active_ai_tpu.utils import checkpoint as ckpt
@@ -46,13 +48,20 @@ from multimodal_active_ai_tpu.utils.meters import AverageMeter, perf_line, speed
 from multimodal_active_ai_tpu.utils.rng import epoch_key_stream
 
 
-def build_reader(cfg: ContrastiveConfig, split: str, shard_id: int, num_shards: int):
-    """Reader pipes (pipe1/pipe3 equivalents, ``Contrastive_Learning.py:289-409``)."""
+def build_reader(cfg: ContrastiveConfig, split: str, shard_id: int, num_shards: int,
+                 batch_size: int | None = None):
+    """Reader pipes (pipe1/pipe3 equivalents, ``Contrastive_Learning.py:289-409``).
+
+    ``batch_size`` is this process's share of the global batch
+    (``global_batch / process_count``); it defaults to ``cfg.batch_size``
+    only for single-shard callers.
+    """
+    bs = batch_size or cfg.batch_size
     if cfg.dataset == "synthetic":
-        n = cfg.num_examples or 64 * cfg.batch_size
+        n = cfg.num_examples or 64 * bs
         if split != "train":
-            n = max(n // 10, cfg.batch_size)
-        return SyntheticReader(cfg.batch_size, cfg.canvas_size, num_examples=n,
+            n = max(n // 10, bs)
+        return SyntheticReader(bs, cfg.canvas_size, num_examples=n,
                                seed=cfg.seed + (0 if split == "train" else 1))
     if cfg.dataset == "mscoco":
         sub = "train2014" if split == "train" else "val2014"
@@ -71,7 +80,7 @@ def build_reader(cfg: ContrastiveConfig, split: str, shard_id: int, num_shards: 
             file_root = os.path.join(cfg.data, sub) if os.path.isdir(
                 os.path.join(cfg.data, sub)) else cfg.data
         files, labels, _ = list_image_folder(file_root)
-    return HostLoader(files, labels, batch_size=cfg.batch_size,
+    return HostLoader(files, labels, batch_size=bs,
                       canvas_size=cfg.canvas_size, shard_id=shard_id,
                       num_shards=num_shards, seed=cfg.seed,
                       num_threads=cfg.workers)
@@ -84,12 +93,11 @@ def main(argv=None):
 
     initialize_distributed(verbose=cfg.verbose)
     mesh = create_mesh()
-    n_data = mesh.shape[DATA_AXIS]
-    global_batch = cfg.batch_size * n_data
+    global_batch, local_batch = per_process_batch(cfg.batch_size, mesh)
     proc_shard, num_proc_shards = jax.process_index(), jax.process_count()
     if cfg.verbose:
-        print(f"mesh: {dict(mesh.shape)}, global batch {global_batch}, "
-              f"process {proc_shard}/{num_proc_shards}")
+        print(f"mesh: {dict(mesh.shape)}, global batch {global_batch} "
+              f"({local_batch}/process), process {proc_shard}/{num_proc_shards}")
 
     retina_cfg = retina.RetinaConfig(
         canvas_size=cfg.canvas_size,
@@ -104,16 +112,21 @@ def main(argv=None):
     model = SimCLRModule(arch=cfg.arch, axis_name=None,
                          norm_kind="bn", dtype=dtype)
 
-    # readers (pipe1 = train, pipe3 = val); this process loads its hosts' shard
-    train_reader = build_reader(cfg, "train", proc_shard, num_proc_shards)
-    val_reader = build_reader(cfg, "val", proc_shard, num_proc_shards)
+    # readers (pipe1 = train, pipe3 = val); this process loads its share of
+    # the global batch every step (its contiguous catalog shard)
+    train_reader = build_reader(cfg, "train", proc_shard, num_proc_shards,
+                                batch_size=local_batch)
+    val_reader = build_reader(cfg, "val", proc_shard, num_proc_shards,
+                              batch_size=local_batch)
     num_examples = getattr(train_reader, "shard_size", None) or (
         train_reader.num_examples if hasattr(train_reader, "num_examples")
-        else len(train_reader) * cfg.batch_size)
+        else len(train_reader) * local_batch)
 
+    # num_examples/local_batch = true optimizer steps per epoch; the LR is
+    # linear-scaled by the global batch actually trained (Model_Util.py:11-28)
     sched = schedule.simclr_learning_rate(
         cfg.lr, global_batch, num_examples=num_examples,
-        batch_size=cfg.batch_size, warmup_epochs=cfg.warmup_epochs,
+        batch_size=local_batch, warmup_epochs=cfg.warmup_epochs,
         train_epochs=cfg.epochs, scaling=cfg.lrs)
     tx = optimizers.get_optimizer(cfg.optimizer, sched, cfg.momentum,
                                   cfg.weight_decay)
@@ -173,9 +186,7 @@ def main(argv=None):
         return
 
     def put(images):
-        if isinstance(images, np.ndarray):
-            return jax.device_put(images, batch_sharding)
-        return images  # synthetic reader already yields device arrays
+        return make_global_array(images, batch_sharding)
 
     for epoch in range(start_epoch, cfg.epochs):
         # ---- train (reference train(), Contrastive_Learning.py:577-740) ----
@@ -193,7 +204,7 @@ def main(argv=None):
                 break
             if i % cfg.print_freq == 0:
                 loss_val = float(jax.device_get(last_loss)[-1])
-                losses.update(loss_val, cfg.batch_size)
+                losses.update(loss_val, global_batch)
                 jax.block_until_ready(state.params)
                 batch_time.update((time() - end) / cfg.print_freq)
                 end = time()
@@ -203,17 +214,20 @@ def main(argv=None):
         loss_history.append(losses.avg)
         total_time.update(batch_time.avg)
         train_reader.reset()
-        if cfg.test:
-            break
 
         # ---- validate (reference validate(), :751-904) ----
+        # -t still validates and checkpoints within the single epoch (the
+        # reference breaks before validate, Contrastive_Learning.py:510-511;
+        # we keep the smoke path exercising validate/save/resume end to end)
         top1 = AverageMeter()
         top5 = AverageMeter()
         for i, (images, _labels) in enumerate(iter(val_reader)):
             m = eval_step(state, put(images), val_keys[i])
             m = jax.device_get(m)
-            top1.update(float(m["top1"]), cfg.batch_size)
-            top5.update(float(m["top5"]), cfg.batch_size)
+            top1.update(float(m["top1"]), global_batch)
+            top5.update(float(m["top5"]), global_batch)
+            if cfg.test and i > 10:
+                break
         val_reader.reset()
         prec1, prec5 = top1.avg, top5.avg
         top1_acc_history.append(prec1)
@@ -237,6 +251,8 @@ def main(argv=None):
                 "total_time": total_time.state_dict(),
             }, is_best, filename=ckpt_file, best_filename=best_file)
             print(perf_line(prec1, prec5, best_prec1, global_batch, total_time.avg))
+        if cfg.test:
+            break
 
     return state
 

@@ -25,6 +25,8 @@ from multimodal_active_ai_tpu.parallel.mesh import (
     DATA_AXIS,
     create_mesh,
     initialize_distributed,
+    make_global_array,
+    per_process_batch,
 )
 from multimodal_active_ai_tpu.train import detr_train
 from multimodal_active_ai_tpu.train.simclr_train import TrainState
@@ -134,8 +136,7 @@ def main(argv=None):
     cfg = parse_into(DETRConfig, argv, prog="DETR_Image_Classification")
     initialize_distributed(verbose=cfg.verbose)
     mesh = create_mesh()
-    n_data = mesh.shape[DATA_AXIS]
-    global_batch = cfg.batch_size * n_data
+    global_batch, local_batch = per_process_batch(cfg.batch_size, mesh)
 
     retina_cfg = retina.RetinaConfig(canvas_size=cfg.canvas_size)
     dtype = jnp.bfloat16 if cfg.bf16 else jnp.float32
@@ -149,8 +150,10 @@ def main(argv=None):
     variables = model.init(rng, g, s)
     variables = load_backbone_into_detr(variables, cfg.backbone_path)
 
-    train_reader = build_reader(cfg, "train", jax.process_index(), jax.process_count())
-    val_reader = build_reader(cfg, "val", jax.process_index(), jax.process_count())
+    train_reader = build_reader(cfg, "train", jax.process_index(),
+                                jax.process_count(), batch_size=local_batch)
+    val_reader = build_reader(cfg, "val", jax.process_index(),
+                              jax.process_count(), batch_size=local_batch)
     if hasattr(train_reader, "shuffle"):
         train_reader.shuffle = True  # DETR_Image_Classification.py:263
     steps_per_epoch = len(train_reader)
@@ -184,7 +187,7 @@ def main(argv=None):
         print(f"=> resumed from '{cfg.resume}' (epoch {start_epoch})")
 
     def put(x):
-        return jax.device_put(x, batch_sharding) if isinstance(x, np.ndarray) else x
+        return make_global_array(x, batch_sharding)
 
     def run_validation(epoch_key):
         top1, top5 = AverageMeter(), AverageMeter()
@@ -192,8 +195,8 @@ def main(argv=None):
         for i, (images, labels) in enumerate(iter(val_reader)):
             m = jax.device_get(eval_step(state, put(images), put(labels),
                                          vkeys[i]))
-            top1.update(float(m["top1"]) * 100, cfg.batch_size)
-            top5.update(float(m["top5"]) * 100, cfg.batch_size)
+            top1.update(float(m["top1"]) * 100, global_batch)
+            top5.update(float(m["top5"]) * 100, global_batch)
             if cfg.test and i > 10:
                 break
         val_reader.reset()
@@ -215,7 +218,7 @@ def main(argv=None):
             if cfg.test and i > 10:
                 break
             if i % cfg.print_freq == 0:
-                losses.update(float(jax.device_get(m["loss_ce"])), cfg.batch_size)
+                losses.update(float(jax.device_get(m["loss_ce"])), global_batch)
                 jax.block_until_ready(state.params)
                 batch_time.update((time() - end) / cfg.print_freq)
                 end = time()

@@ -33,6 +33,8 @@ from multimodal_active_ai_tpu.parallel.mesh import (
     DATA_AXIS,
     create_mesh,
     initialize_distributed,
+    make_global_array,
+    per_process_batch,
 )
 from multimodal_active_ai_tpu.rl import ReplayMemory
 from multimodal_active_ai_tpu.train import detr_train, rls_train
@@ -46,8 +48,7 @@ def main(argv=None):
     cfg = parse_into(RLSConfig, argv, prog="DETR_Image_Classification_RLS")
     initialize_distributed(verbose=cfg.verbose)
     mesh = create_mesh()
-    n_data = mesh.shape[DATA_AXIS]
-    global_batch = cfg.batch_size * n_data
+    global_batch, local_batch = per_process_batch(cfg.batch_size, mesh)
 
     retina_cfg = retina.RetinaConfig(canvas_size=cfg.canvas_size)
     dtype = jnp.bfloat16 if cfg.bf16 else jnp.float32
@@ -81,8 +82,10 @@ def main(argv=None):
                      retina_cfg.num_channels),
         seed=cfg.seed)
 
-    train_reader = build_reader(cfg, "train", jax.process_index(), jax.process_count())
-    val_reader = build_reader(cfg, "val", jax.process_index(), jax.process_count())
+    train_reader = build_reader(cfg, "train", jax.process_index(),
+                                jax.process_count(), batch_size=local_batch)
+    val_reader = build_reader(cfg, "val", jax.process_index(),
+                              jax.process_count(), batch_size=local_batch)
     if hasattr(train_reader, "shuffle"):
         train_reader.shuffle = True
     steps_per_epoch = len(train_reader)
@@ -122,14 +125,19 @@ def main(argv=None):
         policy_state = policy_state.replace(
             params=ckpt.restore_like(policy_state.params,
                                      payload["policy_state_dict"]),
+            batch_stats=ckpt.restore_like(
+                policy_state.batch_stats,
+                payload.get("policy_batch_stats", policy_state.batch_stats)),
             step=int(payload.get("step", 0)))
         target_vars = {"params": ckpt.restore_like(
             policy_state.params, payload["target_state_dict"]),
-            "batch_stats": policy_state.batch_stats}
+            "batch_stats": ckpt.restore_like(
+                policy_state.batch_stats,
+                payload.get("target_batch_stats", policy_state.batch_stats))}
         print(f"=> resumed DQN from '{cfg.dqn_resume}'")
 
     def put(x):
-        return jax.device_put(x, batch_sharding) if isinstance(x, np.ndarray) else x
+        return make_global_array(x, batch_sharding)
 
     host_rng = np.random.RandomState(cfg.seed)
     total_time = AverageMeter()
@@ -168,7 +176,7 @@ def main(argv=None):
             if cfg.test and i > 10:
                 break
             if i % cfg.print_freq == 0:
-                losses.update(float(jax.device_get(m["loss_ce"])), cfg.batch_size)
+                losses.update(float(jax.device_get(m["loss_ce"])), global_batch)
                 jax.block_until_ready(state.params)
                 batch_time.update((time() - end) / cfg.print_freq)
                 end = time()
@@ -190,8 +198,8 @@ def main(argv=None):
         for i, (images, labels) in enumerate(iter(val_reader)):
             m = jax.device_get(eval_step(state, put(images), put(labels),
                                          val_keys[i]))
-            top1.update(float(m["top1"]) * 100, cfg.batch_size)
-            top5.update(float(m["top5"]) * 100, cfg.batch_size)
+            top1.update(float(m["top1"]) * 100, global_batch)
+            top5.update(float(m["top5"]) * 100, global_batch)
             if cfg.test and i > 10:
                 break
         val_reader.reset()
@@ -212,7 +220,9 @@ def main(argv=None):
                 "epoch": epoch + 1,
                 "step": int(policy_state.step),
                 "policy_state_dict": jax.device_get(policy_state.params),
+                "policy_batch_stats": jax.device_get(policy_state.batch_stats),
                 "target_state_dict": jax.device_get(target_vars["params"]),
+                "target_batch_stats": jax.device_get(target_vars["batch_stats"]),
             }, False, filename=dqn_file, best_filename=dqn_file + ".best")
             print(f"##Top-1 {prec1}\n##Top-5 {prec5}\n##Best Top-1 saved "
                   f"{best_prec1}\n##Perf {global_batch / total_time.avg if total_time.avg else float('nan')}")

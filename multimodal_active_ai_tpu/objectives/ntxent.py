@@ -66,6 +66,15 @@ def contrastive_loss(hidden1: jnp.ndarray,
         stop-gradded); pass ``False`` for the reference's fully
         differentiable ``world_size == 1`` branch (``Objective.py:59-65``).
 
+        CHANGED: the ``axis_name=None, torch_gather_semantics=True``
+        default stop-grads both gathered operands (it used to be fully
+        differentiable). This is deliberate — under GSPMD the "global
+        batch on one logical device" must carry the N-rank gradient
+        semantics for torch parity (pinned by
+        ``tests/test_torch_parity.py``) — but external callers relying on
+        the old default gradient must now pass
+        ``torch_gather_semantics=False`` explicitly.
+
     Returns:
       ``(loss, logits_ab, labels)`` exactly as ``Objective.py:81``:
       ``loss`` scalar (this replica's contribution), ``logits_ab`` of shape

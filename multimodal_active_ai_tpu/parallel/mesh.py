@@ -78,6 +78,44 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Sharding for a batch-leading array: batch split over the data axis."""
     return NamedSharding(mesh, P(DATA_AXIS))
 
+
+def make_global_array(x, sharding: NamedSharding):
+    """Assemble a batch-sharded global array from this process's local rows.
+
+    The multi-host feed path: each process's reader yields its
+    ``global_batch / process_count`` share of the batch and this stitches the
+    shares into one global array (``jax.make_array_from_process_local_data``),
+    the TPU equivalent of DALI's per-rank shards feeding one DDP step
+    (``NVIDIA_DALI_Pipelines.py:36-37`` + ``Contrastive_Learning.py:418-424``).
+    Single-process runs reduce to a plain sharded ``device_put``; device
+    arrays (e.g. from :class:`SyntheticReader`) pass through for jit to
+    lay out.
+    """
+    if not isinstance(x, np.ndarray):
+        return x
+    if jax.process_count() == 1:
+        return jax.device_put(x, sharding)
+    return jax.make_array_from_process_local_data(sharding, x)
+
+
+def per_process_batch(per_shard_batch: int, mesh: Mesh) -> tuple[int, int]:
+    """(global_batch, per-process batch) from the per-data-shard ``-b``.
+
+    Reference semantics: ``-b`` is the per-rank batch and the global batch is
+    ``b × world_size`` (``Contrastive_Learning.py:585-587`` +
+    ``Model_Util.py:11-15``). Here "rank" is a data-axis shard (device), so
+    ``global = b × data_axis`` and each host process feeds
+    ``global / process_count`` rows per step.
+    """
+    n_data = mesh.shape[DATA_AXIS]
+    global_batch = per_shard_batch * n_data
+    n_proc = jax.process_count()
+    if global_batch % n_proc != 0:
+        raise ValueError(
+            f"global batch {global_batch} (= -b {per_shard_batch} × "
+            f"{n_data} data shards) not divisible by {n_proc} processes")
+    return global_batch, global_batch // n_proc
+
 def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

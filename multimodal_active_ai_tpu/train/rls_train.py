@@ -139,25 +139,34 @@ def make_dqn_update_step(dqn_model, num_of_actions: int, gamma: float):
     Huber loss on a replay sample, gradients clamped to ±1 elementwise (the
     reference's ``param.grad.data.clamp_(-1, 1)``), RMSprop step applied by
     the caller's optimizer. Replay batches are host-sampled, so this is a
-    plain single-program jit (the DQN is replicated)."""
+    plain single-program jit (the DQN is replicated).
+
+    The policy net runs in train mode so its BatchNorm statistics update
+    with every Bellman step (the reference trains its DQN trunk with live
+    BN, ``DQN/Training.py:86-140``); the updated stats are carried in
+    ``policy_state.batch_stats`` and flow to the target net on sync. The
+    target net evaluates with its own frozen stats."""
 
     def step(policy_state: TrainState, target_variables, transition):
         states, actions, next_states, rewards = transition
 
         def loss_fn(params):
-            qx, qy = dqn_model.apply(
+            (qx, qy), mutated = dqn_model.apply(
                 {"params": params, "batch_stats": policy_state.batch_stats},
-                states, train=False)
+                states, train=True, mutable=["batch_stats"])
             tqx, tqy = dqn_model.apply(target_variables, next_states,
                                        train=False)
-            return dqn_bellman_loss(qx, qy,
+            loss = dqn_bellman_loss(qx, qy,
                                     jax.lax.stop_gradient(tqx),
                                     jax.lax.stop_gradient(tqy),
                                     actions, rewards, gamma, num_of_actions)
+            return loss, mutated["batch_stats"]
 
-        loss, grads = jax.value_and_grad(loss_fn)(policy_state.params)
+        (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            policy_state.params)
         grads = jax.tree.map(lambda g: jnp.clip(g, -1.0, 1.0), grads)
-        policy_state = policy_state.apply_gradients(grads=grads)
+        policy_state = policy_state.apply_gradients(grads=grads,
+                                                    batch_stats=new_bs)
         return policy_state, loss
 
     # no donation: right after a target sync, ``target_variables`` aliases

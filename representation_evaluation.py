@@ -28,6 +28,8 @@ from multimodal_active_ai_tpu.parallel.mesh import (
     DATA_AXIS,
     create_mesh,
     initialize_distributed,
+    make_global_array,
+    per_process_batch,
 )
 from multimodal_active_ai_tpu.train import eval_probe, optimizers, schedule
 from multimodal_active_ai_tpu.train.simclr_train import TrainState
@@ -68,8 +70,7 @@ def main(argv=None):
     cfg = parse_into(EvalConfig, argv, prog="Representation_Evaluation")
     initialize_distributed(verbose=cfg.verbose)
     mesh = create_mesh()
-    n_data = mesh.shape[DATA_AXIS]
-    global_batch = cfg.batch_size * n_data
+    global_batch, local_batch = per_process_batch(cfg.batch_size, mesh)
 
     retina_cfg = retina.RetinaConfig(canvas_size=cfg.canvas_size)
     dtype = jnp.bfloat16 if cfg.bf16 else jnp.float32
@@ -85,14 +86,16 @@ def main(argv=None):
     feat_dim = encoder_feature_dim(cfg.arch) * 4 * 4 * cfg.num_fixations
     probe = LogisticRegression(num_classes=cfg.num_classes)
 
-    train_reader = build_reader(cfg, "train", jax.process_index(), jax.process_count())
-    val_reader = build_reader(cfg, "val", jax.process_index(), jax.process_count())
+    train_reader = build_reader(cfg, "train", jax.process_index(),
+                                jax.process_count(), batch_size=local_batch)
+    val_reader = build_reader(cfg, "val", jax.process_index(),
+                              jax.process_count(), batch_size=local_batch)
     num_examples = getattr(train_reader, "shard_size", None) or getattr(
-        train_reader, "num_examples", len(train_reader) * cfg.batch_size)
+        train_reader, "num_examples", len(train_reader) * local_batch)
 
     sched = schedule.simclr_learning_rate(
         cfg.lr, global_batch, num_examples=num_examples,
-        batch_size=cfg.batch_size, warmup_epochs=cfg.warmup_epochs,
+        batch_size=local_batch, warmup_epochs=cfg.warmup_epochs,
         train_epochs=cfg.epochs, scaling=cfg.lrs)
     tx = optimizers.get_optimizer(cfg.optimizer, sched, cfg.momentum,
                                   cfg.weight_decay)
@@ -124,7 +127,7 @@ def main(argv=None):
         print(f"=> resumed classifier from '{cfg.resume}' (epoch {start_epoch})")
 
     def put(x):
-        return jax.device_put(x, batch_sharding) if isinstance(x, np.ndarray) else x
+        return make_global_array(x, batch_sharding)
 
     def run_validation(epoch_key):
         top1, top5 = AverageMeter(), AverageMeter()
@@ -133,8 +136,8 @@ def main(argv=None):
             m = jax.device_get(eval_step(probe_state, enc_variables,
                                          put(images), put(labels),
                                          vkeys[i]))
-            top1.update(float(m["top1"]) * 100, cfg.batch_size)
-            top5.update(float(m["top5"]) * 100, cfg.batch_size)
+            top1.update(float(m["top1"]) * 100, global_batch)
+            top5.update(float(m["top5"]) * 100, global_batch)
             if cfg.test and i > 10:
                 break
         val_reader.reset()
@@ -158,7 +161,7 @@ def main(argv=None):
             if cfg.test and i > 10:
                 break
             if i % cfg.print_freq == 0:
-                losses.update(float(jax.device_get(m["loss"])), cfg.batch_size)
+                losses.update(float(jax.device_get(m["loss"])), global_batch)
                 jax.block_until_ready(probe_state.params)
                 batch_time.update((time() - end) / cfg.print_freq)
                 end = time()

@@ -114,3 +114,37 @@ def test_dqn_update_after_target_sync_aliasing(rng):
     target = rls_train.sync_target(state)
     state, loss2 = update(state, target, tr)  # crashed before the fix
     assert np.isfinite(float(loss1)) and np.isfinite(float(loss2))
+
+
+def test_dqn_update_trains_batchnorm_stats(rng):
+    """The Bellman step must run the policy net with live BatchNorm: stats
+    change across updates (the reference trains its DQN trunk in train mode,
+    ``DQN/Training.py:86-140``) and flow to the target on sync."""
+    import optax
+    from multimodal_active_ai_tpu.models.qnet import build_dqn
+    from multimodal_active_ai_tpu.train import rls_train
+    from multimodal_active_ai_tpu.train.simclr_train import TrainState
+
+    dqn = build_dqn(arch="ResNet18", num_of_actions=10, axis_name=None,
+                    norm_kind="bn")
+    variables = dqn.init(rng, jnp.ones((2, 30, 30, 12)), train=False)
+    state = TrainState.create(apply_fn=dqn.apply,
+                              params=variables["params"],
+                              tx=optax.rmsprop(1e-3),
+                              batch_stats=variables["batch_stats"])
+    update = rls_train.make_dqn_update_step(dqn, num_of_actions=10, gamma=0.9)
+    target = rls_train.sync_target(state)
+    tr = (jax.random.uniform(rng, (4, 30, 30, 12)),
+          jnp.zeros((4, 2), jnp.int32),
+          jax.random.uniform(jax.random.fold_in(rng, 1), (4, 30, 30, 12)),
+          jnp.ones((4,)))
+    before = jax.device_get(state.batch_stats)
+    state, _ = update(state, target, tr)
+    after = jax.device_get(state.batch_stats)
+    diffs = jax.tree.map(lambda a, b: float(np.abs(a - b).max()), before, after)
+    assert max(jax.tree.leaves(diffs)) > 0.0
+    # sync copies the live stats into the target net
+    target = rls_train.sync_target(state)
+    same = jax.tree.map(lambda a, b: bool((a == b).all()),
+                        target["batch_stats"], state.batch_stats)
+    assert all(jax.tree.leaves(same))
