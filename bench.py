@@ -11,6 +11,12 @@ reference's inner loop is one such view per source image,
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 vs_baseline is value / 8000 (the BASELINE.json v5e target).
+
+Input modes (``BENCH_INPUT`` env or ``--input=``):
+  device (default): batches generated in HBM — isolates the compute path.
+  host: real JPEG files through HostLoader (native C++ decode pool) ->
+    host->device transfer -> the same train step; the end-to-end number the
+    reference's DALI pipeline reports as "Speed".
 """
 
 from __future__ import annotations
@@ -22,6 +28,38 @@ from time import perf_counter
 
 import jax
 import jax.numpy as jnp
+
+
+def _jpeg_corpus(n_images: int, src: int, tmp_root: str = "/tmp") -> list[str]:
+    """Synthesize a cached corpus of distinct JPEGs (decode-realistic input;
+    the bench may not assume a dataset on disk)."""
+    import numpy as np
+    from PIL import Image
+    from concurrent.futures import ThreadPoolExecutor
+
+    root = os.path.join(tmp_root, f"maai_bench_jpegs_{src}px_{n_images}")
+    os.makedirs(root, exist_ok=True)
+    paths = [os.path.join(root, f"{i:05d}.jpg") for i in range(n_images)]
+    missing = [(i, p) for i, p in enumerate(paths) if not os.path.isfile(p)]
+    if missing:
+        rng = np.random.RandomState(0)
+        # low-frequency content: noise JPEGs are pathologically large and
+        # decode-slow; smooth gradients + noise match photo entropy better
+        base = rng.randint(0, 256, (16, 16, 3), np.uint8)
+
+        def make(args):
+            i, p = args
+            r = np.random.RandomState(i)
+            im = np.asarray(Image.fromarray(base).resize((src, src),
+                                                         Image.BILINEAR))
+            im = np.clip(im.astype(np.int16)
+                         + r.randint(-24, 24, im.shape, np.int16),
+                         0, 255).astype(np.uint8)
+            Image.fromarray(im).save(p, quality=90)
+
+        with ThreadPoolExecutor(max_workers=os.cpu_count() or 8) as pool:
+            list(pool.map(make, missing))
+    return paths
 
 
 def main():
@@ -65,34 +103,72 @@ def main():
     step = simclr_train.make_train_step(model, mesh, cfg, num_fixations, 0.05,
                                         donate=donate)
 
-    images = jax.random.randint(rng, (global_batch, canvas, canvas, 3), 0, 256,
-                                dtype=jnp.int32).astype(jnp.uint8)
-    if mesh is not None:
-        images = jax.device_put(images, NamedSharding(mesh, P(DATA_AXIS)))
+    input_mode = os.environ.get("BENCH_INPUT", "device")
+    for a in sys.argv[1:]:
+        if a.startswith("--input="):
+            input_mode = a.split("=", 1)[1]
+
     # per-step keys as HOST numpy: indexing a device array per step
     # (keys[i] / fold_in(rng, i)) embeds the index as a constant and
     # triggers a fresh tiny-program compile every step — hundreds of ms
     # of host stall per step on a remote-tunneled device
     step_keys = jax.device_get(jax.random.split(rng, steps + 1))
+    sharding = NamedSharding(mesh, P(DATA_AXIS)) if mesh is not None else None
 
-    # warmup / compile
-    state, m = step(state, images, step_keys[0])
-    jax.block_until_ready(m["losses"])
+    if input_mode == "host":
+        # end-to-end: JPEG decode (native C++ pool) -> device_put -> step,
+        # with decode of batch N+1 overlapping step N via HostLoader's
+        # producer thread. Distinct sources per step (dedupe-safe).
+        from multimodal_active_ai_tpu.data.loader import HostLoader
 
-    t0 = perf_counter()
-    for i in range(steps):
-        state, m = step(state, images, step_keys[i + 1])
-    jax.block_until_ready(m["losses"])
-    dt = perf_counter() - t0
+        src = int(os.environ.get("BENCH_SRC", "640"))
+        files = _jpeg_corpus((steps + 1) * global_batch, src)
+        workers = int(os.environ.get("BENCH_WORKERS", "0")) or \
+            min(os.cpu_count() or 8, 32)
+        loader = HostLoader(files, batch_size=global_batch,
+                            canvas_size=canvas, num_threads=workers,
+                            prefetch=3)
+        it = iter(loader)
+
+        def put(x):
+            return jax.device_put(x, sharding) if sharding is not None \
+                else jnp.asarray(x)
+
+        images, _ = next(it)
+        state, m = step(state, put(images), step_keys[0])  # warmup/compile
+        jax.block_until_ready(m["losses"])
+        t0 = perf_counter()
+        for i in range(steps):
+            images, _ = next(it)
+            state, m = step(state, put(images), step_keys[i + 1])
+        jax.block_until_ready(m["losses"])
+        dt = perf_counter() - t0
+        metric = f"simclr_{arch.lower()}_e2e_host_images_per_sec_per_chip"
+    else:
+        images = jax.random.randint(rng, (global_batch, canvas, canvas, 3),
+                                    0, 256, dtype=jnp.int32).astype(jnp.uint8)
+        if sharding is not None:
+            images = jax.device_put(images, sharding)
+
+        # warmup / compile
+        state, m = step(state, images, step_keys[0])
+        jax.block_until_ready(m["losses"])
+
+        t0 = perf_counter()
+        for i in range(steps):
+            state, m = step(state, images, step_keys[i + 1])
+        jax.block_until_ready(m["losses"])
+        dt = perf_counter() - t0
+        metric = ("simclr_resnet50_aug_fwd_bwd_images_per_sec_per_chip"
+                  if arch == "ResNet50" else
+                  f"simclr_{arch.lower()}_aug_fwd_bwd_images_per_sec_per_chip")
 
     # one "image" = one aug+fwd+bwd view: num_fixations views per source image
     views = steps * num_fixations * global_batch
     img_s = views / dt
     img_s_chip = img_s / n_dev
     print(json.dumps({
-        "metric": "simclr_resnet50_aug_fwd_bwd_images_per_sec_per_chip"
-        if arch == "ResNet50" else
-        f"simclr_{arch.lower()}_aug_fwd_bwd_images_per_sec_per_chip",
+        "metric": metric,
         "value": round(img_s_chip, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(img_s_chip / 8000.0, 4),

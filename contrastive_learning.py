@@ -37,6 +37,7 @@ from multimodal_active_ai_tpu.models import SimCLRModule
 from multimodal_active_ai_tpu.ops import retina
 from multimodal_active_ai_tpu.parallel.mesh import (
     DATA_AXIS,
+    create_hybrid_mesh,
     create_mesh,
     initialize_distributed,
     make_global_array,
@@ -92,7 +93,8 @@ def main(argv=None):
         raise Exception("error: No data set provided")
 
     initialize_distributed(verbose=cfg.verbose)
-    mesh = create_mesh()
+    mesh = (create_hybrid_mesh(verbose=cfg.verbose) if cfg.multislice
+            else create_mesh())
     global_batch, local_batch = per_process_batch(cfg.batch_size, mesh)
     proc_shard, num_proc_shards = jax.process_index(), jax.process_count()
     if cfg.verbose:
@@ -175,6 +177,13 @@ def main(argv=None):
     if cfg.plot_training_history:
         # fixed rebuild of the reference's broken plot path
         # (Model_Util.plot_training_stats vs plot_features_stats name bug)
+        from multimodal_active_ai_tpu.utils.plotting import plot_training_stats
+
+        out = plot_training_stats(
+            loss_history, top1_acc_history, top5_acc_history,
+            out_path=os.path.join(cfg.checkpoint_dir, "training_history.png"))
+        if out:
+            print(f"training history figure written to {out}")
         print("loss_history:", loss_history)
         print("top1_acc_history:", top1_acc_history)
         print("top5_acc_history:", top5_acc_history)

@@ -23,6 +23,7 @@ from multimodal_active_ai_tpu.models import detr as detr_models
 from multimodal_active_ai_tpu.ops import retina
 from multimodal_active_ai_tpu.parallel.mesh import (
     DATA_AXIS,
+    create_hybrid_mesh,
     create_mesh,
     initialize_distributed,
     make_global_array,
@@ -135,7 +136,8 @@ def _bn_to_frozen_layout(f_params, f_stats, sd):
 def main(argv=None):
     cfg = parse_into(DETRConfig, argv, prog="DETR_Image_Classification")
     initialize_distributed(verbose=cfg.verbose)
-    mesh = create_mesh()
+    mesh = (create_hybrid_mesh(verbose=cfg.verbose) if cfg.multislice
+            else create_mesh())
     global_batch, local_batch = per_process_batch(cfg.batch_size, mesh)
 
     retina_cfg = retina.RetinaConfig(canvas_size=cfg.canvas_size)
@@ -174,7 +176,19 @@ def main(argv=None):
     best_file = os.path.join(cfg.checkpoint_dir, "detr_classifier_model_best.msgpack")
     best_prec1 = 0.0
     start_epoch = cfg.start_epoch
-    if cfg.resume and os.path.isfile(cfg.resume):
+    if cfg.resume and os.path.isfile(cfg.resume) and \
+            cfg.resume.endswith((".pth.tar", ".pth", ".pt")):
+        # reference-trained DETR head (detr_classifier_checkpoint.pth.tar,
+        # DETR_Image_Classification.py:463-468)
+        p, s, payload = ckpt.import_torch_detr_checkpoint(
+            cfg.resume, jax.device_get(state.params),
+            jax.device_get(state.batch_stats), nheads=cfg.nheads)
+        state = state.replace(params=p, batch_stats=s)
+        start_epoch = int(payload.get("epoch", 0))
+        best_prec1 = float(payload.get("best_prec1", 0.0))
+        print(f"=> imported reference DETR checkpoint '{cfg.resume}' "
+              f"(epoch {start_epoch})")
+    elif cfg.resume and os.path.isfile(cfg.resume):
         payload = ckpt.load_checkpoint(cfg.resume)
         state = state.replace(
             params=ckpt.restore_like(state.params, payload["state_dict"]["params"]),

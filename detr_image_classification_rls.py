@@ -31,6 +31,7 @@ from multimodal_active_ai_tpu.models import detr as detr_models
 from multimodal_active_ai_tpu.ops import retina
 from multimodal_active_ai_tpu.parallel.mesh import (
     DATA_AXIS,
+    create_hybrid_mesh,
     create_mesh,
     initialize_distributed,
     make_global_array,
@@ -47,7 +48,8 @@ from multimodal_active_ai_tpu.utils.rng import epoch_key_stream
 def main(argv=None):
     cfg = parse_into(RLSConfig, argv, prog="DETR_Image_Classification_RLS")
     initialize_distributed(verbose=cfg.verbose)
-    mesh = create_mesh()
+    mesh = (create_hybrid_mesh(verbose=cfg.verbose) if cfg.multislice
+            else create_mesh())
     global_batch, local_batch = per_process_batch(cfg.batch_size, mesh)
 
     retina_cfg = retina.RetinaConfig(canvas_size=cfg.canvas_size)

@@ -66,6 +66,8 @@ class ContrastiveConfig:
     checkpoint_dir: str = _flag("--checkpoint-dir", default=".")
     num_examples: int = _flag("--num-examples", default=0,
                               help="synthetic dataset size when --dataset synthetic")
+    multislice: bool = _flag("--multislice", default=False, action="store_true",
+                             help="hybrid DCN(slice)×ICI mesh on multi-slice topologies")
 
 
 @dataclass
@@ -101,6 +103,7 @@ class EvalConfig:
     checkpoint_dir: str = _flag("--checkpoint-dir", default=".")
     num_examples: int = _flag("--num-examples", default=0)
     num_classes: int = _flag("--num-classes", default=1000)
+    multislice: bool = _flag("--multislice", default=False, action="store_true")
 
 
 @dataclass
@@ -147,6 +150,7 @@ class DETRConfig:
     checkpoint_dir: str = _flag("--checkpoint-dir", default=".")
     num_examples: int = _flag("--num-examples", default=0)
     num_classes: int = _flag("--num-classes", default=1000)
+    multislice: bool = _flag("--multislice", default=False, action="store_true")
 
 
 @dataclass

@@ -24,6 +24,18 @@ import numpy as np
 from multimodal_active_ai_tpu.data import readers
 
 
+def _put_until(q: "queue.Queue", item, stop: "threading.Event") -> bool:
+    """Blocking put that aborts when the consumer signalled shutdown (an
+    abandoned iterator must not leave the producer parked on a full queue)."""
+    while not stop.is_set():
+        try:
+            q.put(item, timeout=0.2)
+            return True
+        except queue.Full:
+            continue
+    return False
+
+
 def _decode_resize_pil(path: str, canvas: int) -> np.ndarray:
     from PIL import Image
 
@@ -99,33 +111,48 @@ class HostLoader:
         return img, label
 
     def __iter__(self):
+        from concurrent.futures import ThreadPoolExecutor
+
         order = self._epoch_order()
         nbatches = len(self)
         out_q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
         def producer():
-            for b in range(nbatches):
-                if stop.is_set():
-                    return
-                sel = order[b * self.batch_size:(b + 1) * self.batch_size]
-                images = np.empty((self.batch_size, self.canvas_size,
-                                   self.canvas_size, 3), np.uint8)
-                labels = np.empty((self.batch_size,), np.int32)
-                if self._native is not None and hasattr(self._native, "decode_batch"):
-                    paths = [self.all_files[i] for i in sel]
-                    ok = self._native.decode_batch(paths, self.canvas_size, images)
-                    for j, i in enumerate(sel):
-                        if not ok[j]:
-                            images[j] = _decode_resize_pil(self.all_files[i],
-                                                           self.canvas_size)
-                        labels[j] = (self.all_labels[i]
-                                     if self.all_labels is not None else -1)
-                else:
-                    for j, i in enumerate(sel):
-                        images[j], labels[j] = self._load_one(i)
-                out_q.put((images, labels))
-            out_q.put(None)
+            # one pool for the epoch: PIL releases the GIL during decode, so
+            # the fallback path parallelizes like the native pthread pool
+            # (the reference leans on DALI's threaded nvJPEG decode,
+            # ``NVIDIA_DALI_Pipelines.py:48``); decode of batch N+1 overlaps
+            # the device step on batch N through the prefetch queue.
+            with ThreadPoolExecutor(max_workers=max(self.num_threads, 1)) as pool:
+                for b in range(nbatches):
+                    if stop.is_set():
+                        return
+                    sel = order[b * self.batch_size:(b + 1) * self.batch_size]
+                    images = np.empty((self.batch_size, self.canvas_size,
+                                       self.canvas_size, 3), np.uint8)
+                    labels = np.empty((self.batch_size,), np.int32)
+                    if self.all_labels is not None:
+                        labels[:] = [self.all_labels[i] for i in sel]
+                    else:
+                        labels[:] = -1
+                    if (self._native is not None
+                            and hasattr(self._native, "decode_batch")):
+                        paths = [self.all_files[i] for i in sel]
+                        ok = self._native.decode_batch(
+                            paths, self.canvas_size, images,
+                            num_threads=self.num_threads)
+                        misses = [j for j in range(len(sel)) if not ok[j]]
+                    else:
+                        misses = list(range(len(sel)))
+                    if misses:  # PIL path (or per-file native punts, e.g. PNG)
+                        def dec(j):
+                            images[j] = _decode_resize_pil(
+                                self.all_files[sel[j]], self.canvas_size)
+                        list(pool.map(dec, misses))
+                    if not _put_until(out_q, (images, labels), stop):
+                        return
+            _put_until(out_q, None, stop)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()

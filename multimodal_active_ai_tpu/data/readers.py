@@ -37,20 +37,68 @@ def list_image_folder(root: str) -> tuple[list[str], list[int], list[str]]:
     return files, labels, classes
 
 
-def list_coco_images(file_root: str, annotations_file: str | None = None) -> list[str]:
+def list_coco_images(file_root: str, annotations_file: str | None = None,
+                     with_boxes: bool = False):
     """COCO image catalog (``ops.COCOReader`` file side, ``NVIDIA_DALI_Pipelines.py:34``).
 
     The SimCLR pretraining path consumes only the images (bboxes/labels are
-    brought but unused, ``Contrastive_Learning.py:592-593``), so this returns
-    the image file list — from the annotations JSON when given (preserving
-    the reader's annotation-driven ordering) else a directory listing.
+    brought but unused, ``Contrastive_Learning.py:592-593``), so by default
+    this returns the image file list — from the annotations JSON when given
+    (preserving the reader's annotation-driven ordering) else a directory
+    listing.
+
+    ``with_boxes=True`` surfaces the full COCOReader triple: ``(files,
+    boxes, box_labels)`` with per-image float32 ``(K, 4)`` boxes in
+    normalized **ltrb** (the reference reader's ``ratio=True, ltrb=True``,
+    ``NVIDIA_DALI_Pipelines.py:39-40``) and ``(K,)`` int32 category ids.
     """
     if annotations_file and os.path.isfile(annotations_file):
+        import numpy as np
+
         with open(annotations_file) as f:
             ann = json.load(f)
-        return [os.path.join(file_root, im["file_name"]) for im in ann["images"]]
-    return [os.path.join(file_root, n) for n in sorted(os.listdir(file_root))
-            if n.endswith(IMG_EXTENSIONS)]
+        files = [os.path.join(file_root, im["file_name"])
+                 for im in ann["images"]]
+        if not with_boxes:
+            return files
+        dims = {im["id"]: (float(im["width"]), float(im["height"]))
+                for im in ann["images"]}
+        per_image: dict = {im["id"]: ([], []) for im in ann["images"]}
+        for a in ann.get("annotations", []):
+            if "bbox" not in a or a["image_id"] not in per_image:
+                continue
+            w, h = dims[a["image_id"]]
+            x, y, bw, bh = a["bbox"]  # COCO xywh pixels -> normalized ltrb
+            per_image[a["image_id"]][0].append(
+                [x / w, y / h, (x + bw) / w, (y + bh) / h])
+            per_image[a["image_id"]][1].append(int(a.get("category_id", 0)))
+        boxes = [np.asarray(per_image[im["id"]][0], np.float32).reshape(-1, 4)
+                 for im in ann["images"]]
+        labels = [np.asarray(per_image[im["id"]][1], np.int32)
+                  for im in ann["images"]]
+        return files, boxes, labels
+    files = [os.path.join(file_root, n) for n in sorted(os.listdir(file_root))
+             if n.endswith(IMG_EXTENSIONS)]
+    if not with_boxes:
+        return files
+    import numpy as np
+
+    empty = np.zeros((0, 4), np.float32)
+    return files, [empty] * len(files), \
+        [np.zeros((0,), np.int32)] * len(files)
+
+
+def bb_hflip(boxes_ltrb):
+    """Horizontal flip of normalized ltrb boxes: the ``ops.BbFlip`` half of
+    the reference's bbox-consistent random flip
+    (``NVIDIA_DALI_Pipelines.py:51,56-64``): ``l' = 1-r, r' = 1-l``."""
+    import numpy as np
+
+    b = np.asarray(boxes_ltrb, np.float32)
+    out = b.copy()
+    out[..., 0] = 1.0 - b[..., 2]
+    out[..., 2] = 1.0 - b[..., 0]
+    return out
 
 
 def compute_shard_size(epoch_size: int, shard_id: int, num_shards: int,

@@ -128,7 +128,29 @@ def hat_sample(mip: jnp.ndarray, rel: jnp.ndarray, start: jnp.ndarray,
     return out[:, :p_dim]
 
 
-def _glimpse_kernel(*refs, wins: tuple, msizes: tuple, chunk: int):
+def _column_window_plan(win: int, msize: int, padded_lanes: int):
+    """Static column-window geometry for one level.
+
+    A column window DMAs ``wpx`` pixels starting at a 128-px-aligned origin
+    (Mosaic: dynamic lane offsets and widths must be 128-aligned; ×3 channel
+    interleave makes the lane origin a multiple of 384). The origin floor
+    absorbs up to 127 px, so the window must span ``win + 127`` px — sized
+    from the actual footprint, not a hard-coded constant. The origin clamp
+    bound must itself be a 128 multiple (``pl.multiple_of`` states a fact to
+    the compiler; a false one is a misaligned DMA), so windowing is used
+    only when the largest aligned origin still covers the mip tail.
+
+    Returns ``(use_window, wpx, max_sxa)``.
+    """
+    wpx = _round_up(win + 127, 128)
+    cap = padded_lanes // 3  # pixels whose 3 lanes all fit the padded width
+    max_sxa = ((cap - wpx) // 128) * 128
+    use_window = (wpx < msize) and (max_sxa >= 0) and (max_sxa + wpx >= msize)
+    return use_window, wpx, max_sxa
+
+
+def _glimpse_kernel(*refs, wins: tuple, msizes: tuple, max_sxas: tuple,
+                    chunk: int):
     """All pyramid levels of one image in one program.
 
     refs = (start, rel, scale, mip_0..mip_{L-1}, out, rows_0..rows_{L-1},
@@ -152,13 +174,15 @@ def _glimpse_kernel(*refs, wins: tuple, msizes: tuple, chunk: int):
     dmas, sxas = [], []
     for li in range(levels):
         sy = pl.multiple_of(start_ref[b, li, 0], 8)
-        wpx = row_bufs[li].shape[1] // 3   # column-window pixels
-        if wpx < msizes[li]:
+        if row_bufs[li].shape[1] < mip_refs[li].shape[2]:
             # column window: 128-px-aligned origin covering the footprint
             # (lane offsets must be 128-aligned AND a multiple of 3 to keep
-            # the channel interleave phase -> pixel origin multiple of 128)
+            # the channel interleave phase -> pixel origin multiple of 128).
+            # max_sxas[li] is the statically-verified aligned clamp bound
+            # (_column_window_plan), so the alignment promise below is true.
+            wpx = row_bufs[li].shape[1] // 3
             sx = start_ref[b, li, 1]
-            sxa = jnp.minimum((sx // 128) * 128, msizes[li] - wpx)
+            sxa = jnp.minimum((sx // 128) * 128, max_sxas[li])
             lane0 = pl.multiple_of(sxa * 3, 384)
             dma = pltpu.make_async_copy(
                 mip_refs[li].at[b, pl.ds(sy, wins[li]),
@@ -237,6 +261,18 @@ def glimpse_sample(mips: tuple, rel: jnp.ndarray, start: jnp.ndarray,
         rel = jnp.pad(rel, ((0, 0), (0, 0), (0, p_pad - p_dim), (0, 0)))
         scale = jnp.pad(scale, ((0, 0), (0, 0), (0, p_pad - p_dim)))
 
+    # static per-level DMA plan: column-window large mips when the aligned
+    # window provably covers every footprint, else stream the full width
+    plans = [_column_window_plan(w, ms, mip.shape[2])
+             for w, ms, mip in zip(wins, msizes, mips)]
+    scratch_widths = [wpx * 3 if use else mip.shape[2]
+                      for (use, wpx, _), mip in zip(plans, mips)]
+    max_sxas = tuple(sxa if use else 0 for use, _, sxa in plans)
+    for (use, wpx, sxa), w, ms in zip(plans, wins, msizes):
+        if use and (wpx < w + 127 or sxa + wpx < ms):  # fail loudly, never
+            raise AssertionError(                      # sample wrong pixels
+                f"column window wpx={wpx} cannot cover win={w} in mip {ms}")
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(b,),
@@ -253,18 +289,15 @@ def glimpse_sample(mips: tuple, rel: jnp.ndarray, start: jnp.ndarray,
                                lambda i, *_: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            # column-window the big mips: beyond 256 px the extra lanes are
-            # pure wasted VPU passes (wx3 is zero outside the footprint);
-            # 256 px = smallest 128-aligned span covering win + alignment
-            pltpu.VMEM((w, min(256, _round_up(mip.shape[2] // 3, 128)) * 3
-                        if mip.shape[2] // 3 >= 512 else mip.shape[2]),
-                       jnp.bfloat16)
-            for w, mip in zip(wins, mips)
+            # column-window the big mips: beyond the footprint span the
+            # extra lanes are pure wasted VPU passes (wx3 is zero outside)
+            pltpu.VMEM((w, sw), jnp.bfloat16)
+            for w, sw in zip(wins, scratch_widths)
         ] + [pltpu.SemaphoreType.DMA((levels,))],
     )
     out = pl.pallas_call(
         functools.partial(_glimpse_kernel, wins=wins, msizes=msizes,
-                          chunk=512),
+                          max_sxas=max_sxas, chunk=512),
         out_shape=jax.ShapeDtypeStruct((b, p_pad, 3 * levels), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,

@@ -37,33 +37,43 @@ void error_exit(j_common_ptr cinfo) {
 }
 
 // Bilinear resample RGB u8 (h_in, w_in) -> (canvas, canvas).
+// Fixed-point (8.8) with the per-column taps precomputed once: the x mapping
+// is identical for every row, and integer MACs vectorize where float
+// round-tripping per pixel does not.
 void resize_bilinear(const uint8_t* in, int h_in, int w_in, uint8_t* out,
                      int canvas) {
+  if (h_in == canvas && w_in == canvas) {  // decode landed on the canvas
+    std::memcpy(out, in, static_cast<size_t>(canvas) * canvas * 3);
+    return;
+  }
   const float sy = static_cast<float>(h_in) / canvas;
   const float sx = static_cast<float>(w_in) / canvas;
+  std::vector<int> x0s(canvas), x1s(canvas);
+  std::vector<int> wxs(canvas);  // 8-bit fraction
+  for (int x = 0; x < canvas; ++x) {
+    float fx = (x + 0.5f) * sx - 0.5f;
+    fx = std::max(0.0f, std::min(fx, static_cast<float>(w_in - 1)));
+    const int x0 = static_cast<int>(fx);
+    x0s[x] = x0 * 3;
+    x1s[x] = std::min(x0 + 1, w_in - 1) * 3;
+    wxs[x] = static_cast<int>((fx - x0) * 256.0f + 0.5f);
+  }
   for (int y = 0; y < canvas; ++y) {
     float fy = (y + 0.5f) * sy - 0.5f;
     fy = std::max(0.0f, std::min(fy, static_cast<float>(h_in - 1)));
     const int y0 = static_cast<int>(fy);
     const int y1 = std::min(y0 + 1, h_in - 1);
-    const float wy = fy - y0;
+    const int wy = static_cast<int>((fy - y0) * 256.0f + 0.5f);
     uint8_t* row_out = out + static_cast<size_t>(y) * canvas * 3;
     const uint8_t* r0 = in + static_cast<size_t>(y0) * w_in * 3;
     const uint8_t* r1 = in + static_cast<size_t>(y1) * w_in * 3;
     for (int x = 0; x < canvas; ++x) {
-      float fx = (x + 0.5f) * sx - 0.5f;
-      fx = std::max(0.0f, std::min(fx, static_cast<float>(w_in - 1)));
-      const int x0 = static_cast<int>(fx);
-      const int x1 = std::min(x0 + 1, w_in - 1);
-      const float wx = fx - x0;
+      const int a = x0s[x], b = x1s[x], wx = wxs[x];
       for (int c = 0; c < 3; ++c) {
-        const float v00 = r0[x0 * 3 + c];
-        const float v01 = r0[x1 * 3 + c];
-        const float v10 = r1[x0 * 3 + c];
-        const float v11 = r1[x1 * 3 + c];
-        const float v = v00 * (1 - wy) * (1 - wx) + v01 * (1 - wy) * wx +
-                        v10 * wy * (1 - wx) + v11 * wy * wx;
-        row_out[x * 3 + c] = static_cast<uint8_t>(v + 0.5f);
+        const int top = (r0[a + c] << 8) + (r0[b + c] - r0[a + c]) * wx;
+        const int bot = (r1[a + c] << 8) + (r1[b + c] - r1[a + c]) * wx;
+        const int v = (top << 8) + (bot - top) * wy;  // 16-bit fraction
+        row_out[x * 3 + c] = static_cast<uint8_t>((v + (1 << 15)) >> 16);
       }
     }
   }
@@ -107,15 +117,19 @@ int decode_one(const char* path, int canvas, uint8_t* out) {
   const int h = cinfo.output_height;
   const int ch = cinfo.output_components;
   pixels.resize(static_cast<size_t>(w) * h * 3);
-  std::vector<uint8_t> rowbuf(static_cast<size_t>(w) * ch);
-  while (cinfo.output_scanline < cinfo.output_height) {
-    uint8_t* rowptr = rowbuf.data();
-    jpeg_read_scanlines(&cinfo, &rowptr, 1);
-    uint8_t* dst = pixels.data() +
-                   static_cast<size_t>(cinfo.output_scanline - 1) * w * 3;
-    if (ch == 3) {
-      std::memcpy(dst, rowbuf.data(), static_cast<size_t>(w) * 3);
-    } else {  // grayscale -> RGB
+  if (ch == 3) {  // decode straight into the pixel buffer (no row copy)
+    while (cinfo.output_scanline < cinfo.output_height) {
+      uint8_t* rowptr =
+          pixels.data() + static_cast<size_t>(cinfo.output_scanline) * w * 3;
+      jpeg_read_scanlines(&cinfo, &rowptr, 1);
+    }
+  } else {  // grayscale -> RGB
+    std::vector<uint8_t> rowbuf(static_cast<size_t>(w) * ch);
+    while (cinfo.output_scanline < cinfo.output_height) {
+      uint8_t* rowptr = rowbuf.data();
+      jpeg_read_scanlines(&cinfo, &rowptr, 1);
+      uint8_t* dst = pixels.data() +
+                     static_cast<size_t>(cinfo.output_scanline - 1) * w * 3;
       for (int x = 0; x < w; ++x) {
         dst[x * 3] = dst[x * 3 + 1] = dst[x * 3 + 2] = rowbuf[x * ch];
       }

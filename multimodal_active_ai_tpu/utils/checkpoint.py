@@ -188,3 +188,164 @@ def import_torch_checkpoint(path: str, params: dict, batch_stats: dict):
     ckpt = torch.load(path, map_location="cpu")
     sd = ckpt.get("state_dict", ckpt)
     return import_torch_simclr_state_dict(sd, params, batch_stats)
+
+
+def _torch_mha_to_flax(sd, prefix: str, nheads: int):
+    """torch ``nn.MultiheadAttention`` tensors -> flax
+    ``MultiHeadDotProductAttention`` {query,key,value,out} subtrees."""
+    d = sd[f"{prefix}.in_proj_weight"].shape[1]
+    hd = d // nheads
+    w = sd[f"{prefix}.in_proj_weight"]      # (3d, d) rows [q; k; v], y = W x
+    b = sd[f"{prefix}.in_proj_bias"]        # (3d,)
+    out = {}
+    for i, name in enumerate(("query", "key", "value")):
+        out[name] = {
+            "kernel": w[i * d:(i + 1) * d].T.reshape(d, nheads, hd),
+            "bias": b[i * d:(i + 1) * d].reshape(nheads, hd),
+        }
+    wo = sd[f"{prefix}.out_proj.weight"]    # (d, d) over head-concat input
+    out["out"] = {"kernel": wo.T.reshape(nheads, hd, d),
+                  "bias": sd[f"{prefix}.out_proj.bias"]}
+    return out
+
+
+def import_torch_detr_state_dict(state_dict: dict[str, Any], params: dict,
+                                 batch_stats: dict, nheads: int = 8
+                                 ) -> tuple[dict, dict]:
+    """Map a reference DETR classifier ``state_dict``
+    (``DETR_Image_Classification.py:463-468``) onto this framework's DETR
+    pytrees — completing the checkpoint-contract story for reference-trained
+    DETR heads.
+
+    Reference layout (``detr_CLA/models``): ``backbone.0.body.*`` (the
+    frozen-BN SimCLR encoder ``f``), ``transformer.encoder.layers.{i}.
+    {self_attn.*, linear1/2.*, norm1/2.*}``, ``transformer.decoder.layers.
+    {i}.{self_attn.*, multihead_attn.*, linear1/2/3?.*, norm1/2/3.*}``,
+    ``transformer.decoder.norm.*``, ``input_proj.{weight,bias}`` (Conv1d
+    k=1 on the C-major-flattened feature, ``detr.py:41``),
+    ``query_embed.weight``, ``class_embed.{weight,bias}``.
+
+    Layer-norm/dense ordering per flax compact tracing: LayerNorm_0↔norm1,
+    LayerNorm_1↔norm2, LayerNorm_2↔norm3, Dense_0↔linear1, Dense_1↔linear2,
+    _MHA_0↔self_attn, _MHA_1↔multihead_attn (holds for both post- and
+    pre-norm variants — verified against ``models/transformer.py``).
+    """
+    import copy
+
+    params = copy.deepcopy(jax.tree.map(np.asarray, params))
+    batch_stats = copy.deepcopy(jax.tree.map(np.asarray, batch_stats))
+    sd = {k: np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach") else v)
+          for k, v in state_dict.items()}
+
+    def put(tree, path, value):
+        node = tree
+        for k in path[:-1]:
+            node = node[k]
+        assert node[path[-1]].shape == value.shape, \
+            (path, node[path[-1]].shape, value.shape)
+        node[path[-1]] = value.astype(node[path[-1]].dtype)
+
+    # ---- backbone: frozen-BN encoder under backbone.0.body.* -------------
+    bb = "backbone.0.body."
+    f_params = params["backbone_f"]
+    f_stats = batch_stats["backbone_f"]
+    put(f_params, ("conv1", "kernel"), _torch_conv_to_hwio(sd[bb + "conv1.weight"]))
+    put(f_stats, ("bn1", "weight"), sd[bb + "bn1.weight"])
+    put(f_stats, ("bn1", "bias"), sd[bb + "bn1.bias"])
+    put(f_stats, ("bn1", "mean"), sd[bb + "bn1.running_mean"])
+    put(f_stats, ("bn1", "var"), sd[bb + "bn1.running_var"])
+    for name in list(f_params.keys()):
+        if not name.startswith("layer"):
+            continue
+        stage, idx = name[5:].split("_")
+        prefix = f"{bb}layer{stage}.{idx}."
+        block_p, block_s = f_params[name], f_stats[name]
+        convs = sorted([k for k in block_p if k.startswith("Conv_")],
+                       key=lambda s: int(s.split("_")[1]))
+        fbns = sorted([k for k in block_s if k.startswith("FrozenBatchNorm_")],
+                      key=lambda s: int(s.split("_")[1]))
+        has_down = (prefix + "downsample.0.weight") in sd
+        n_main = len(convs) - (1 if has_down else 0)
+
+        def put_frozen(slot, tkey):
+            put(block_s, (slot, "weight"), sd[tkey + ".weight"])
+            put(block_s, (slot, "bias"), sd[tkey + ".bias"])
+            put(block_s, (slot, "mean"), sd[tkey + ".running_mean"])
+            put(block_s, (slot, "var"), sd[tkey + ".running_var"])
+
+        for j in range(n_main):
+            put(block_p, (convs[j], "kernel"),
+                _torch_conv_to_hwio(sd[f"{prefix}conv{j + 1}.weight"]))
+            put_frozen(fbns[j], f"{prefix}bn{j + 1}")
+        if has_down:
+            put(block_p, (convs[-1], "kernel"),
+                _torch_conv_to_hwio(sd[prefix + "downsample.0.weight"]))
+            put_frozen(fbns[-1], prefix + "downsample.1")
+
+    # ---- heads ------------------------------------------------------------
+    w_proj = sd["input_proj.weight"][:, :, 0]        # Conv1d k=1 -> (out, in)
+    feat_c = w_proj.shape[1] // 16                   # spatial output is 4x4
+    put(params, ("input_proj", "kernel"),
+        torch_linear_on_flattened_conv(w_proj, (feat_c, 4, 4)))
+    put(params, ("input_proj", "bias"), sd["input_proj.bias"])
+    put(params, ("query_embed",), sd["query_embed.weight"])
+    put(params, ("class_embed", "kernel"), sd["class_embed.weight"].T)
+    put(params, ("class_embed", "bias"), sd["class_embed.bias"])
+
+    # ---- transformer -------------------------------------------------------
+    tr = params["transformer"]
+
+    def put_common(layer, prefix, n_norms):
+        put(layer, ("Dense_0", "kernel"), sd[f"{prefix}.linear1.weight"].T)
+        put(layer, ("Dense_0", "bias"), sd[f"{prefix}.linear1.bias"])
+        put(layer, ("Dense_1", "kernel"), sd[f"{prefix}.linear2.weight"].T)
+        put(layer, ("Dense_1", "bias"), sd[f"{prefix}.linear2.bias"])
+        for n in range(n_norms):
+            put(layer, (f"LayerNorm_{n}", "scale"), sd[f"{prefix}.norm{n + 1}.weight"])
+            put(layer, (f"LayerNorm_{n}", "bias"), sd[f"{prefix}.norm{n + 1}.bias"])
+
+    for name in tr:
+        if name.startswith("TransformerEncoderLayer_"):
+            i = int(name.split("_")[-1])
+            prefix = f"transformer.encoder.layers.{i}"
+            layer = tr[name]
+            layer["_MHA_0"]["MultiHeadDotProductAttention_0"] = \
+                _torch_mha_to_flax(sd, f"{prefix}.self_attn", nheads)
+            put_common(layer, prefix, 2)
+        elif name.startswith("TransformerDecoderLayer_"):
+            i = int(name.split("_")[-1])
+            prefix = f"transformer.decoder.layers.{i}"
+            layer = tr[name]
+            layer["_MHA_0"]["MultiHeadDotProductAttention_0"] = \
+                _torch_mha_to_flax(sd, f"{prefix}.self_attn", nheads)
+            layer["_MHA_1"]["MultiHeadDotProductAttention_0"] = \
+                _torch_mha_to_flax(sd, f"{prefix}.multihead_attn", nheads)
+            put_common(layer, prefix, 3)
+    put(tr, ("decoder_norm", "scale"), sd["transformer.decoder.norm.weight"])
+    put(tr, ("decoder_norm", "bias"), sd["transformer.decoder.norm.bias"])
+    if "transformer.encoder.norm.weight" in sd and "LayerNorm_0" in tr:
+        put(tr, ("LayerNorm_0", "scale"), sd["transformer.encoder.norm.weight"])
+        put(tr, ("LayerNorm_0", "bias"), sd["transformer.encoder.norm.bias"])
+
+    # learned position embedding (sine has no parameters); reference names
+    # row_embed/col_embed under the Joiner's slot 1 (position_encoding.py:58-80)
+    if "backbone.1.row_embed.weight" in sd and "pos_embed" in params:
+        put(params, ("pos_embed", "row_embed", "embedding"),
+            sd["backbone.1.row_embed.weight"])
+        put(params, ("pos_embed", "col_embed", "embedding"),
+            sd["backbone.1.col_embed.weight"])
+
+    return params, batch_stats
+
+
+def import_torch_detr_checkpoint(path: str, params: dict, batch_stats: dict,
+                                 nheads: int = 8):
+    """Load a reference ``detr_classifier_checkpoint.pth.tar`` and map it
+    onto framework DETR pytrees; returns ``(params, batch_stats, payload)``
+    so callers can restore epoch/best_prec1."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu")
+    sd = ckpt.get("state_dict", ckpt)
+    p, s = import_torch_detr_state_dict(sd, params, batch_stats, nheads)
+    return p, s, ckpt

@@ -26,6 +26,7 @@ from multimodal_active_ai_tpu.models.resnet import encoder_feature_dim
 from multimodal_active_ai_tpu.ops import retina
 from multimodal_active_ai_tpu.parallel.mesh import (
     DATA_AXIS,
+    create_hybrid_mesh,
     create_mesh,
     initialize_distributed,
     make_global_array,
@@ -69,7 +70,8 @@ def load_pretrained_encoder(model, cfg, rng, glimpse_sample):
 def main(argv=None):
     cfg = parse_into(EvalConfig, argv, prog="Representation_Evaluation")
     initialize_distributed(verbose=cfg.verbose)
-    mesh = create_mesh()
+    mesh = (create_hybrid_mesh(verbose=cfg.verbose) if cfg.multislice
+            else create_mesh())
     global_batch, local_batch = per_process_batch(cfg.batch_size, mesh)
 
     retina_cfg = retina.RetinaConfig(canvas_size=cfg.canvas_size)

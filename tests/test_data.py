@@ -153,3 +153,60 @@ def test_native_decoder_matches_pil(tmp_path):
                              num_threads=2)
     assert list(ok) == [True, True, False]
     np.testing.assert_array_equal(batch[0], batch[1])
+
+
+def test_coco_catalog_with_boxes(tmp_path):
+    """COCOReader triple parity: files in annotation order, per-image boxes
+    normalized ltrb (reference reader ratio=True, ltrb=True,
+    ``NVIDIA_DALI_Pipelines.py:39-40``) + category ids."""
+    import json
+    from multimodal_active_ai_tpu.data.readers import bb_hflip, list_coco_images
+
+    ann = {
+        "images": [
+            {"id": 7, "file_name": "b.jpg", "width": 200, "height": 100},
+            {"id": 3, "file_name": "a.jpg", "width": 400, "height": 400},
+        ],
+        "annotations": [
+            {"image_id": 7, "bbox": [20, 10, 100, 50], "category_id": 5},
+            {"image_id": 7, "bbox": [0, 0, 200, 100], "category_id": 2},
+            {"image_id": 3, "bbox": [100, 200, 200, 100], "category_id": 9},
+        ],
+    }
+    ann_file = tmp_path / "instances.json"
+    ann_file.write_text(json.dumps(ann))
+
+    files, boxes, labels = list_coco_images(str(tmp_path), str(ann_file),
+                                            with_boxes=True)
+    assert [f.endswith(n) for f, n in zip(files, ("b.jpg", "a.jpg"))]
+    np.testing.assert_allclose(
+        boxes[0], [[0.1, 0.1, 0.6, 0.6], [0.0, 0.0, 1.0, 1.0]], atol=1e-6)
+    np.testing.assert_allclose(boxes[1], [[0.25, 0.5, 0.75, 0.75]], atol=1e-6)
+    assert list(labels[0]) == [5, 2] and list(labels[1]) == [9]
+
+    # bbox-consistent horizontal flip (ops.BbFlip ltrb semantics)
+    flipped = bb_hflip(boxes[0])
+    np.testing.assert_allclose(
+        flipped, [[0.4, 0.1, 0.9, 0.6], [0.0, 0.0, 1.0, 1.0]], atol=1e-6)
+    np.testing.assert_allclose(bb_hflip(flipped), boxes[0], atol=1e-6)
+
+    # without boxes: the plain file list (pretraining path) is unchanged
+    assert list_coco_images(str(tmp_path), str(ann_file)) == files
+
+
+def test_bbox_overlay_draws_rectangles():
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "retina_visualization",
+        os.path.join(os.path.dirname(__file__), "..", "examples",
+                     "retina_visualization.py"))
+    viz = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(viz)
+
+    img = np.zeros((100, 100, 3), np.uint8)
+    out = viz.draw_boxes(img, np.array([[0.2, 0.3, 0.6, 0.8]]), thickness=2)
+    assert (out[30:32, 20:61] == (255, 32, 32)).all()   # top edge
+    assert (out[30:81, 20:22] == (255, 32, 32)).all()   # left edge
+    assert (out[50, 40] == 0).all()                     # interior untouched

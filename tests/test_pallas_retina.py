@@ -72,3 +72,42 @@ def test_fused_glimpse_sample_matches_composition(rng):
     assert fused.shape == (b, p, 6)
     np.testing.assert_allclose(np.asarray(fused), np.asarray(ref),
                                rtol=1e-2, atol=1e-1)
+
+
+def test_column_window_plan_geometry():
+    """Window sizing follows the footprint and refuses unsafe clamps."""
+    # default bench config: 640 mip, win 80 -> 256-px window, aligned clamp
+    use, wpx, max_sxa = pallas_retina._column_window_plan(80, 640, 1920)
+    assert use and wpx == 256 and max_sxa == 384 and max_sxa + wpx >= 640
+    # large footprint (win 144, e.g. crop_sizes giving factor-1 crops):
+    # needs a 384-px window, still covered on a 640 mip
+    use, wpx, max_sxa = pallas_retina._column_window_plan(144, 640, 1920)
+    assert use and wpx == 384 and max_sxa + wpx >= 640
+    # 576 mip (canvas not a 128 multiple): the aligned clamp cannot cover
+    # the tail -> the plan must fall back to full-width streaming
+    use, _, _ = pallas_retina._column_window_plan(80, 576, 1728)
+    assert not use
+    # small mips never window
+    use, _, _ = pallas_retina._column_window_plan(16, 32, 128)
+    assert not use
+
+
+def test_column_window_branch_matches_xla(rng):
+    """The column-window DMA branch (the production path for every default
+    640-canvas run) vs the XLA fallback, with x-origins at a 128 boundary,
+    just past one, and at the msize-win tail where the clamp engages."""
+    b, p, m, win = 4, 12, 640, 80
+    ks = jax.random.split(rng, 3)
+    mip = (jax.random.uniform(ks[0], (b, m, m * 3)) * 255).astype(jnp.bfloat16)
+    start = jnp.array([[8, 128],            # exactly on a 128 boundary
+                       [16, 129],           # just past one (max misalign ~127)
+                       [0, m - win],        # tail: clamp to max_sxa engages
+                       [24, 300]], jnp.int32)
+    rel = jax.random.uniform(ks[1], (b, 1, p, 2)) * (win - 1)
+    scale = jnp.ones((b, 1, p))
+    fused = pallas_retina.glimpse_sample((mip,), rel, start[:, None],
+                                         scale, (win,), (m,), interpret=True)
+    ref = pallas_retina.glimpse_sample_xla((mip,), rel, start[:, None],
+                                           scale, (win,), (m,))
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(ref),
+                               rtol=1e-2, atol=1e-1)
