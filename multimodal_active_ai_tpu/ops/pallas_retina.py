@@ -149,19 +149,18 @@ def _column_window_plan(win: int, msize: int, padded_lanes: int):
     return use_window, wpx, max_sxa
 
 
-def _glimpse_kernel(*refs, wins: tuple, msizes: tuple, max_sxas: tuple,
-                    chunk: int):
-    """All pyramid levels of one image in one program.
-
+def _glimpse_kernel_pipelined(*refs, wins: tuple, msizes: tuple,
+                              max_sxas: tuple, chunk: int, src_b: int):
+    """All pyramid levels of one image in one program, with the window DMAs
+    double-buffered across grid steps: image ``i+1``'s DMAs are issued
+    before image ``i``'s contraction so the DMA issue+completion latency
+    (4 small strided transfers per image — measured ~1.3 ms/view of
+    ``copy-done`` waits when issued-then-waited within one program) hides
+    behind the MXU work of the previous grid step. Scratch rows are
+    ping-pong slots indexed by grid parity; 2×levels DMA semaphores.
     refs = (start, rel, scale, mip_0..mip_{L-1}, out, rows_0..rows_{L-1},
-    sems). Fusing the levels (vs one :func:`hat_sample` per level) removes
-    ~10 small XLA ops per view — per-level pads, mask multiplies, reshapes
-    and the channel concat — each of which costs ~0.18 ms of fixed launch
-    overhead on the bench chip. Mips stay in HBM; each level async-DMAs
-    only the ``win`` rows its window needs (all DMAs issued up front so
-    transfers overlap the contractions) — streaming whole mips as grid
-    blocks both overflows VMEM and wastes ~6× HBM bandwidth.
-    """
+    sems); mips stay in HBM (streaming whole mips as VMEM grid blocks both
+    overflows VMEM and wastes ~6× HBM bandwidth)."""
     levels = len(wins)
     start_ref, rel_ref, scale_ref = refs[0], refs[1], refs[2]
     mip_refs = refs[3:3 + levels]
@@ -169,40 +168,51 @@ def _glimpse_kernel(*refs, wins: tuple, msizes: tuple, max_sxas: tuple,
     row_bufs = refs[4 + levels:4 + 2 * levels]
     sems = refs[4 + 2 * levels]
     b = pl.program_id(0)
+    nb = pl.num_programs(0)
     p_dim = rel_ref.shape[2]
 
-    dmas, sxas = [], []
-    for li in range(levels):
-        sy = pl.multiple_of(start_ref[b, li, 0], 8)
-        if row_bufs[li].shape[1] < mip_refs[li].shape[2]:
-            # column window: 128-px-aligned origin covering the footprint
-            # (lane offsets must be 128-aligned AND a multiple of 3 to keep
-            # the channel interleave phase -> pixel origin multiple of 128).
-            # max_sxas[li] is the statically-verified aligned clamp bound
-            # (_column_window_plan), so the alignment promise below is true.
-            wpx = row_bufs[li].shape[1] // 3
-            sx = start_ref[b, li, 1]
-            sxa = jnp.minimum((sx // 128) * 128, max_sxas[li])
-            lane0 = pl.multiple_of(sxa * 3, 384)
-            dma = pltpu.make_async_copy(
-                mip_refs[li].at[b, pl.ds(sy, wins[li]),
-                                pl.ds(lane0, wpx * 3)],
-                row_bufs[li], sems.at[li])
+    # start_ref is (2L, G): transposed so SMEM prefetch rows stay few and
+    # wide (SMEM pads each trailing-dim slice to 2 KiB; a (G, L, 2) layout
+    # at G=V·B programs overflows the 1 MiB scalar-prefetch budget)
+    def sxa_of(img, li):
+        if row_bufs[li].shape[2] < mip_refs[li].shape[2]:
+            sx = start_ref[2 * li + 1, img]
+            return jnp.minimum((sx // 128) * 128, max_sxas[li])
+        return jnp.int32(0)
+
+    def dma_of(img, li, slot):
+        # img is the grid/program index (view-major when several views of
+        # the same sources run in one grid); the mip row is the source image
+        src_img = img % src_b if src_b != nb else img
+        sy = pl.multiple_of(start_ref[2 * li, img], 8)
+        if row_bufs[li].shape[2] < mip_refs[li].shape[2]:
+            wpx = row_bufs[li].shape[2] // 3
+            lane0 = pl.multiple_of(sxa_of(img, li) * 3, 384)
+            src = mip_refs[li].at[src_img, pl.ds(sy, wins[li]),
+                                  pl.ds(lane0, wpx * 3)]
         else:
-            sxa = jnp.int32(0)
-            dma = pltpu.make_async_copy(
-                mip_refs[li].at[b, pl.ds(sy, wins[li]), :],
-                row_bufs[li], sems.at[li])
-        dma.start()
-        dmas.append(dma)
-        sxas.append(sxa)
+            src = mip_refs[li].at[src_img, pl.ds(sy, wins[li]), :]
+        return pltpu.make_async_copy(src, row_bufs[li].at[slot],
+                                     sems.at[slot, li])
+
+    slot = b % 2
+
+    @pl.when(b == 0)
+    def _issue_first():
+        for li in range(levels):
+            dma_of(0, li, 0).start()
+
+    @pl.when(b + 1 < nb)
+    def _prefetch_next():
+        for li in range(levels):
+            dma_of(b + 1, li, (b + 1) % 2).start()
 
     cols = []
     for li in range(levels):
         win, m = wins[li], msizes[li]
-        sx = start_ref[b, li, 1]
-        dmas[li].wait()
-        rows = row_bufs[li][...]                     # (win, M*3) bf16
+        sx = start_ref[2 * li + 1, b]
+        dma_of(b, li, slot).wait()
+        rows = row_bufs[li][slot]                    # (win, W) bf16
         rel = rel_ref[0, li]                         # (P, 2) f32
         scale = scale_ref[0, li]                     # (P,) f32
 
@@ -211,28 +221,38 @@ def _glimpse_kernel(*refs, wins: tuple, msizes: tuple, max_sxas: tuple,
         wy16 = jnp.maximum(0.0, 1.0 - jnp.abs(ry - idx)).astype(jnp.bfloat16)
         sxf = sx.astype(jnp.float32)
         rxa = jnp.clip(rel[:, 1:2] + sxf, sxf, sxf + win - 1.0)
-        # pixel coords relative to the DMA'd column window
-        rxw = rxa - sxas[li].astype(jnp.float32)
+        rxw = rxa - sxa_of(b, li).astype(jnp.float32)
 
-        width = row_bufs[li].shape[1]
-        accs = [jnp.zeros((p_dim, 1), jnp.float32) for _ in range(3)]
+        width = row_bufs[li].shape[2]
+        acc = jnp.zeros((p_dim, 3), jnp.float32)
         for k0 in range(0, width, chunk):
             k1 = min(k0 + chunk, width)
+            ck = k1 - k0
             patch = rows[:, k0:k1]
             tmp = jax.lax.dot_general(
                 wy16, patch,
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
-            col = jax.lax.broadcasted_iota(jnp.int32, (p_dim, k1 - k0), 1) + k0
-            v = (col // 3).astype(jnp.float32)
-            c = col % 3
-            wx3 = jnp.maximum(0.0, 1.0 - jnp.abs(rxw - v))
-            prod = tmp * wx3
-            accs = [a + jnp.sum(jnp.where(c == ch, prod, 0.0), axis=1,
-                                keepdims=True)
-                    for ch, a in enumerate(accs)]
-        sc = scale[:, None]
-        cols.extend(a * sc for a in accs)
+            col = jax.lax.broadcasted_iota(jnp.int32, (p_dim, ck), 1) + k0
+            # integer div/mod are slow on the VPU: pixel index via the exact
+            # float reciprocal trick (floor((i+.5)/3) == i//3 for i < 2^22)
+            vf = jnp.floor((col.astype(jnp.float32) + 0.5) * (1.0 / 3.0))
+            wx3 = jnp.maximum(0.0, 1.0 - jnp.abs(rxw - vf))
+            prod = (tmp * wx3).astype(jnp.bfloat16)
+            # channel de-interleave as an MXU contraction against a 0/1
+            # selector (replaces 3 masked-sum VPU passes over (P, ck));
+            # bf16 prod is harmless — at most 2 hat taps are nonzero per
+            # pixel and the glimpse feeds a bf16 encoder anyway
+            kcol = jax.lax.broadcasted_iota(jnp.int32, (ck, 3), 0) + k0
+            kvf = jnp.floor((kcol.astype(jnp.float32) + 0.5) * (1.0 / 3.0))
+            kc = kcol - 3 * kvf.astype(jnp.int32)
+            sel = (kc == jax.lax.broadcasted_iota(jnp.int32, (ck, 3), 1)
+                   ).astype(jnp.bfloat16)
+            acc = acc + jax.lax.dot_general(
+                prod, sel,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        cols.append(acc * scale[:, None])
     out_ref[0] = jnp.concatenate(cols, axis=1)       # (P, 3L)
 
 
@@ -256,6 +276,9 @@ def glimpse_sample(mips: tuple, rel: jnp.ndarray, start: jnp.ndarray,
     order as ``SimCLR/SimCLR.py:24`` stacks it.
     """
     b, levels, p_dim, _ = rel.shape
+    src_b = mips[0].shape[0]  # source-image batch; b may be V*src_b
+    if b % src_b != 0:
+        raise ValueError(f"plan batch {b} not a multiple of mip batch {src_b}")
     p_pad = _round_up(p_dim, 8)
     if p_pad != p_dim:
         rel = jnp.pad(rel, ((0, 0), (0, 0), (0, p_pad - p_dim), (0, 0)))
@@ -290,29 +313,38 @@ def glimpse_sample(mips: tuple, rel: jnp.ndarray, start: jnp.ndarray,
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             # column-window the big mips: beyond the footprint span the
-            # extra lanes are pure wasted VPU passes (wx3 is zero outside)
-            pltpu.VMEM((w, sw), jnp.bfloat16)
+            # extra lanes are pure wasted VPU passes (wx3 is zero outside).
+            # 2 slots: ping-pong buffers for the cross-image DMA pipeline.
+            pltpu.VMEM((2, w, sw), jnp.bfloat16)
             for w, sw in zip(wins, scratch_widths)
-        ] + [pltpu.SemaphoreType.DMA((levels,))],
+        ] + [pltpu.SemaphoreType.DMA((2, levels))],
     )
+    # (B, L, 2) -> (2L, B): SMEM pads each trailing-dim slice to 2 KiB, so
+    # the prefetch operand must keep the program axis trailing or V·B
+    # programs blow the 1 MiB scalar budget
+    start_t = start.reshape(b, 2 * levels).T
     out = pl.pallas_call(
-        functools.partial(_glimpse_kernel, wins=wins, msizes=msizes,
-                          max_sxas=max_sxas, chunk=512),
+        functools.partial(_glimpse_kernel_pipelined, wins=wins, msizes=msizes,
+                          max_sxas=max_sxas, chunk=512, src_b=src_b),
         out_shape=jax.ShapeDtypeStruct((b, p_pad, 3 * levels), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(start, rel, scale, *[m.astype(jnp.bfloat16) for m in mips])
+    )(start_t, rel, scale, *[m.astype(jnp.bfloat16) for m in mips])
     return out[:, :p_dim]
 
 
 def glimpse_sample_xla(mips: tuple, rel: jnp.ndarray, start: jnp.ndarray,
                        scale: jnp.ndarray, wins: tuple,
                        msizes: tuple | None = None) -> jnp.ndarray:
-    """XLA fallback for :func:`glimpse_sample` (per-level einsum sampling)."""
+    """XLA fallback for :func:`glimpse_sample` (per-level einsum sampling).
+    A plan batch of ``V × mip-batch`` (stacked views) tiles the mips."""
     outs = []
+    views = rel.shape[0] // mips[0].shape[0]
     for li, (m, win) in enumerate(zip(mips, wins)):
         if msizes is not None:
             m = m[:, :, :msizes[li] * 3]  # drop lane padding
+        if views > 1:
+            m = jnp.tile(m, (views, 1, 1))  # view-major: index v*B+i -> i
         v = hat_sample_xla(m, rel[:, li], start[:, li], win)
         outs.append(v * scale[:, li][..., None])
     return jnp.concatenate(outs, axis=-1)

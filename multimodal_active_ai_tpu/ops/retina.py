@@ -397,7 +397,9 @@ def _matmul_batch(mips: dict, p: AugParams, noise_keys: jnp.ndarray,
     g = cfg.glimpse_size
     levels = len(cfg.crop_sizes)
     factors = _mip_levels(cfg)
-    batch = next(iter(mips.values())).shape[0]
+    # plan batch = params batch; it may be a V× multiple of the mip batch
+    # (V stacked views of the same sources, see apply_retina_views)
+    batch = p.fix_yx.shape[0]
     on_tpu = jax.default_backend() == "tpu"
     sampler = (pallas_retina.glimpse_sample if (cfg.use_pallas and on_tpu)
                else pallas_retina.glimpse_sample_xla)
@@ -507,6 +509,36 @@ def apply_retina(images: jnp.ndarray | None, params: AugParams, key: jax.Array,
     single = {"fused": _fused_single, "canvas": _canvas_single}[cfg.mode]
     fn = functools.partial(single, cfg=cfg, photometric=photometric)
     return jax.vmap(fn)(images, params, noise_keys)
+
+
+def apply_retina_views(pyramid: dict, params_views: AugParams,
+                       view_keys: jax.Array, cfg: RetinaConfig,
+                       photometric: bool) -> jnp.ndarray:
+    """All V views of one source batch in ONE sampler invocation.
+
+    The saccade loop needs ``1 + num_fixations`` augmentation views of the
+    same batch; running them as separate ops costs ~0.2 ms of fixed launch
+    overhead per op on TPU and restarts the sampler's DMA pipeline per
+    view. Here the per-view :class:`AugParams` are stacked view-major
+    (leading dim ``V·B``) and the fused kernel runs one ``V·B``-program
+    grid against the B-image mip pyramid.
+
+    Args:
+      pyramid: ``build_pyramid`` output for the B source images.
+      params_views: AugParams with leading dim ``V*B`` — view-major stack,
+        i.e. ``tree.map(reshape)`` of a ``(V, B)`` param tree.
+      view_keys: ``(V, 2)`` per-view noise keys (``fix_keys[:, 1]``); split
+        per view exactly as :func:`apply_retina` does, so outputs match
+        V separate calls (up to XLA reduction-order rounding).
+
+    Returns ``(V*B, g, g, 3L)`` float32 glimpses (view-major).
+    """
+    if cfg.mode != "matmul":
+        raise ValueError("apply_retina_views requires the matmul retina")
+    b = pyramid[1].shape[0]
+    noise_keys = jax.vmap(lambda k: jax.random.split(k, b))(view_keys)
+    noise_keys = noise_keys.reshape(-1, *noise_keys.shape[2:])
+    return _matmul_batch(pyramid, params_views, noise_keys, cfg, photometric)
 
 
 _run_retina = jax.jit(apply_retina, static_argnames=("cfg", "photometric"))

@@ -81,7 +81,10 @@ def make_train_step(model, mesh, retina_cfg: retina.RetinaConfig,
         src = images.shape[1]
         fix_keys = jax.random.split(key, 2 * (num_fixations + 1)).reshape(
             num_fixations + 1, 2, 2)
-        # mip pyramid is view-independent: build once, reuse across all views
+        # mip pyramid is view-independent: build once, reuse across all views.
+        # (Hoisting ALL views into one sampler grid was tried and measured
+        # 5% slower end-to-end — the per-view calls schedule better; see
+        # retina.apply_retina_views + PERF.md.)
         pyramid = (retina.build_pyramid(images, retina_cfg)
                    if retina_cfg.mode == "matmul" else None)
 

@@ -111,3 +111,22 @@ def test_column_window_branch_matches_xla(rng):
                                            scale, (win,), (m,))
     np.testing.assert_allclose(np.asarray(fused), np.asarray(ref),
                                rtol=1e-2, atol=1e-1)
+
+
+def test_multiview_plan_batch_matches_tiled_xla(rng):
+    """A V×B plan batch against B mips (the hoisted-views production path)
+    equals per-view sampling: program v*B+i must read source image i."""
+    b, v, p, m, win = 3, 2, 10, 32, 16
+    ks = jax.random.split(rng, 3)
+    mip = (jax.random.uniform(ks[0], (b, m, m * 3)) * 255).astype(jnp.bfloat16)
+    start = jax.random.randint(ks[1], (v * b, 1, 2), 0, m - win, jnp.int32)
+    start = start.at[..., 0].set((start[..., 0] // 8) * 8)
+    rel = jax.random.uniform(ks[2], (v * b, 1, p, 2)) * (win - 1)
+    scale = jnp.ones((v * b, 1, p))
+    fused = pallas_retina.glimpse_sample((mip,), rel, start, scale,
+                                         (win,), (m,), interpret=True)
+    ref = pallas_retina.glimpse_sample_xla((mip,), rel, start, scale,
+                                           (win,), (m,))
+    assert fused.shape == (v * b, p, 3)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(ref),
+                               rtol=1e-2, atol=1e-1)

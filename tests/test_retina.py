@@ -166,3 +166,34 @@ def test_window_bounds_cover_footprint():
             # footprint: crop * sqrt(2) in source px, /f in mip px, + margins
             assert win * f >= min(crop * 1.4142 + 4, cfg.canvas_size - 1) or \
                 win == mip_size
+
+
+def test_apply_retina_views_matches_per_view(rng):
+    """The hoisted all-views invocation matches separate per-view
+    apply_retina calls (same params, same noise-key splits; equal up to
+    XLA reduction-order rounding at the different batch shape)."""
+    from multimodal_active_ai_tpu.ops import retina
+
+    cfg = retina.RetinaConfig(canvas_size=64, crop_sizes=(40, 24, 10, 30),
+                              supersample=2)
+    b, v = 3, 4
+    images = (jax.random.uniform(rng, (b, 64, 64, 3)) * 255).astype(jnp.uint8)
+    pyramid = retina.build_pyramid(images, cfg)
+    fix_keys = jax.random.split(jax.random.fold_in(rng, 7), 2 * v).reshape(v, 2, 2)
+
+    per_view = []
+    for j in range(v):
+        p = retina.sample_unlabeled_params(fix_keys[j, 0], b, 64, cfg)
+        per_view.append(retina.apply_retina(images, p, fix_keys[j, 1], cfg,
+                                            photometric=True, pyramid=pyramid))
+
+    p_views = jax.vmap(lambda k: retina.sample_unlabeled_params(k, b, 64, cfg))(
+        fix_keys[:, 0])
+    p_flat = jax.tree.map(lambda x: x.reshape((v * b,) + x.shape[2:]), p_views)
+    g_all = retina.apply_retina_views(pyramid, p_flat, fix_keys[:, 1], cfg,
+                                      photometric=True)
+    g_all = g_all.reshape((v, b) + g_all.shape[1:])
+    for j in range(v):
+        np.testing.assert_allclose(np.asarray(g_all[j]),
+                                   np.asarray(per_view[j]),
+                                   rtol=1e-4, atol=1e-3)
