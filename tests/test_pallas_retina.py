@@ -65,11 +65,13 @@ def test_fused_glimpse_sample_matches_composition(rng):
     start = jnp.stack(starts, 1)
     scale = jnp.stack(scales, 1)
     msizes = (32, 16)
-    fused = pallas_retina.glimpse_sample(tuple(mips), rel, start, scale, wins,
-                                         msizes, interpret=True)
-    ref = pallas_retina.glimpse_sample_xla(tuple(mips), rel, start, scale,
+    fused = pallas_retina.glimpse_sample(tuple(mips), rel[..., 0], rel[..., 1],
+                                         start, scale, wins, msizes,
+                                         interpret=True)
+    ref = pallas_retina.glimpse_sample_xla(tuple(mips), rel[..., 0],
+                                           rel[..., 1], start, scale,
                                            wins, msizes)
-    assert fused.shape == (b, p, 6)
+    assert fused.shape == (b, 6, p)
     np.testing.assert_allclose(np.asarray(fused), np.asarray(ref),
                                rtol=1e-2, atol=1e-1)
 
@@ -105,10 +107,11 @@ def test_column_window_branch_matches_xla(rng):
                        [24, 300]], jnp.int32)
     rel = jax.random.uniform(ks[1], (b, 1, p, 2)) * (win - 1)
     scale = jnp.ones((b, 1, p))
-    fused = pallas_retina.glimpse_sample((mip,), rel, start[:, None],
-                                         scale, (win,), (m,), interpret=True)
-    ref = pallas_retina.glimpse_sample_xla((mip,), rel, start[:, None],
-                                           scale, (win,), (m,))
+    fused = pallas_retina.glimpse_sample((mip,), rel[..., 0], rel[..., 1],
+                                         start[:, None], scale, (win,), (m,),
+                                         interpret=True)
+    ref = pallas_retina.glimpse_sample_xla((mip,), rel[..., 0], rel[..., 1],
+                                           start[:, None], scale, (win,), (m,))
     np.testing.assert_allclose(np.asarray(fused), np.asarray(ref),
                                rtol=1e-2, atol=1e-1)
 
@@ -123,10 +126,11 @@ def test_multiview_plan_batch_matches_tiled_xla(rng):
     start = start.at[..., 0].set((start[..., 0] // 8) * 8)
     rel = jax.random.uniform(ks[2], (v * b, 1, p, 2)) * (win - 1)
     scale = jnp.ones((v * b, 1, p))
-    fused = pallas_retina.glimpse_sample((mip,), rel, start, scale,
-                                         (win,), (m,), interpret=True)
-    ref = pallas_retina.glimpse_sample_xla((mip,), rel, start, scale,
-                                           (win,), (m,))
-    assert fused.shape == (v * b, p, 3)
+    fused = pallas_retina.glimpse_sample((mip,), rel[..., 0], rel[..., 1],
+                                         start, scale, (win,), (m,),
+                                         interpret=True)
+    ref = pallas_retina.glimpse_sample_xla((mip,), rel[..., 0], rel[..., 1],
+                                           start, scale, (win,), (m,))
+    assert fused.shape == (v * b, 3, p)
     np.testing.assert_allclose(np.asarray(fused), np.asarray(ref),
                                rtol=1e-2, atol=1e-1)
