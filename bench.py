@@ -62,7 +62,84 @@ def _jpeg_corpus(n_images: int, src: int, tmp_root: str = "/tmp") -> list[str]:
     return paths
 
 
+def detr_inference_bench():
+    """DETR classifier inference throughput (BASELINE.md target #3: measured
+    & reported — the reference publishes no number). Full eval path per
+    source image: labeled retina rollout of F random-saccade glimpses ->
+    frozen-BN backbone -> transformer -> query-mean logits. One "image" =
+    one classified source image. No baseline exists, so vs_baseline is the
+    ratio to the SimCLR 8k target's image rate for scale only."""
+    from types import SimpleNamespace
+
+    from multimodal_active_ai_tpu.models import detr as detr_models
+    from multimodal_active_ai_tpu.ops import retina
+    from multimodal_active_ai_tpu.parallel.mesh import DATA_AXIS, create_mesh
+    from multimodal_active_ai_tpu.train import detr_train
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    on_tpu = jax.devices()[0].platform == "tpu"
+    n_dev = len(jax.devices())
+    mesh = create_mesh() if n_dev > 1 else None
+    batch = int(os.environ.get("BENCH_BATCH", "128" if on_tpu else "4"))
+    fixations = int(os.environ.get("BENCH_FIXATIONS", "2"))
+    canvas = int(os.environ.get("BENCH_CANVAS", "640" if on_tpu else "64"))
+    steps = int(os.environ.get("BENCH_STEPS", "10" if on_tpu else "2"))
+    cfg = SimpleNamespace(backbone=os.environ.get("BENCH_ARCH", "ResNet18"),
+                          dataset="imagenet", num_queries=10, hidden_dim=256,
+                          nheads=8, enc_layers=6, dec_layers=6,
+                          dim_feedforward=2048, dropout=0.1, pre_norm=False,
+                          position_embedding="sine")
+    retina_cfg = retina.RetinaConfig(canvas_size=canvas) if canvas >= 640 \
+        else retina.RetinaConfig(canvas_size=canvas,
+                                 crop_sizes=(40, 24, 10, 30), supersample=2)
+    model, criterion = detr_models.build(cfg, num_classes=1000,
+                                         dtype=jnp.bfloat16)
+    rng = jax.random.PRNGKey(0)
+    g = jnp.ones((2, fixations, retina_cfg.glimpse_size,
+                  retina_cfg.glimpse_size, retina_cfg.num_channels))
+    s = jnp.full((2, fixations, 2), 0.5)
+    variables = model.init(rng, g, s)
+    # the eval step reads only params/batch_stats; no optimizer needed
+    from multimodal_active_ai_tpu.train.simclr_train import TrainState
+
+    state = TrainState(step=0, apply_fn=model.apply, tx=None, opt_state=None,
+                       params=variables["params"],
+                       batch_stats=variables["batch_stats"])
+    global_batch = batch * (mesh.shape[DATA_AXIS] if mesh else 1)
+    step = detr_train.make_detr_eval_step(model, criterion, mesh, retina_cfg,
+                                          fixations)
+    images = jax.random.randint(rng, (global_batch, canvas, canvas, 3),
+                                0, 256, dtype=jnp.int32).astype(jnp.uint8)
+    labels = jax.random.randint(rng, (global_batch,), 0, 1000, jnp.int32)
+    if mesh is not None:
+        sh = NamedSharding(mesh, P(DATA_AXIS))
+        images = jax.device_put(images, sh)
+        labels = jax.device_put(labels, sh)
+    keys = jax.device_get(jax.random.split(rng, steps + 1))
+    m = step(state, images, labels, keys[0])
+    jax.block_until_ready(m["loss_ce"])
+    t0 = perf_counter()
+    for i in range(steps):
+        m = step(state, images, labels, keys[i + 1])
+    jax.block_until_ready(m["loss_ce"])
+    dt = perf_counter() - t0
+    img_s_chip = steps * global_batch / dt / n_dev
+    print(json.dumps({
+        "metric": "detr_classifier_inference_images_per_sec_per_chip",
+        "value": round(img_s_chip, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(img_s_chip / 8000.0, 4),
+    }))
+    if os.environ.get("BENCH_VERBOSE"):
+        print(f"# devices={n_dev} global_batch={global_batch} "
+              f"fixations={fixations} canvas={canvas} "
+              f"backbone={cfg.backbone} steps={steps} wall={dt:.3f}s",
+              file=sys.stderr)
+
+
 def main():
+    if os.environ.get("BENCH_MODE") == "detr":
+        return detr_inference_bench()
     from multimodal_active_ai_tpu.models import SimCLRModule
     from multimodal_active_ai_tpu.ops import retina
     from multimodal_active_ai_tpu.parallel.mesh import DATA_AXIS, create_mesh
