@@ -55,7 +55,10 @@ def _jpeg_corpus(n_images: int, src: int, tmp_root: str = "/tmp") -> list[str]:
             im = np.clip(im.astype(np.int16)
                          + r.randint(-24, 24, im.shape, np.int16),
                          0, 255).astype(np.uint8)
-            Image.fromarray(im).save(p, quality=90)
+            # atomic: an interrupted run must not leave truncated JPEGs
+            # that the isfile() cache check would trust forever
+            Image.fromarray(im).save(p + ".tmp", format="JPEG", quality=90)
+            os.replace(p + ".tmp", p)
 
         with ThreadPoolExecutor(max_workers=os.cpu_count() or 8) as pool:
             list(pool.map(make, missing))
@@ -69,8 +72,7 @@ def detr_inference_bench():
     frozen-BN backbone -> transformer -> query-mean logits. One "image" =
     one classified source image. No baseline exists, so vs_baseline is the
     ratio to the SimCLR 8k target's image rate for scale only."""
-    from types import SimpleNamespace
-
+    from multimodal_active_ai_tpu.config import DETRConfig
     from multimodal_active_ai_tpu.models import detr as detr_models
     from multimodal_active_ai_tpu.ops import retina
     from multimodal_active_ai_tpu.parallel.mesh import DATA_AXIS, create_mesh
@@ -84,11 +86,10 @@ def detr_inference_bench():
     fixations = int(os.environ.get("BENCH_FIXATIONS", "2"))
     canvas = int(os.environ.get("BENCH_CANVAS", "640" if on_tpu else "64"))
     steps = int(os.environ.get("BENCH_STEPS", "10" if on_tpu else "2"))
-    cfg = SimpleNamespace(backbone=os.environ.get("BENCH_ARCH", "ResNet18"),
-                          dataset="imagenet", num_queries=10, hidden_dim=256,
-                          nheads=8, enc_layers=6, dec_layers=6,
-                          dim_feedforward=2048, dropout=0.1, pre_norm=False,
-                          position_embedding="sine")
+    # the driver's own dataclass defaults: the bench measures exactly the
+    # model the DETR driver trains (no hand-copied config that can drift)
+    cfg = DETRConfig(backbone=os.environ.get("BENCH_ARCH", "ResNet18"),
+                     dataset="imagenet")
     retina_cfg = retina.RetinaConfig(canvas_size=canvas) if canvas >= 640 \
         else retina.RetinaConfig(canvas_size=canvas,
                                  crop_sizes=(40, 24, 10, 30), supersample=2)

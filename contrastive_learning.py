@@ -62,8 +62,11 @@ def build_reader(cfg: ContrastiveConfig, split: str, shard_id: int, num_shards: 
         n = cfg.num_examples or 64 * bs
         if split != "train":
             n = max(n // 10, bs)
+        # decorrelate shards: each process must contribute DISTINCT rows of
+        # the global batch, like the file readers' contiguous catalog shards
         return SyntheticReader(bs, cfg.canvas_size, num_examples=n,
-                               seed=cfg.seed + (0 if split == "train" else 1))
+                               seed=cfg.seed + (0 if split == "train" else 1)
+                               + 7919 * shard_id)
     if cfg.dataset == "mscoco":
         sub = "train2014" if split == "train" else "val2014"
         file_root = os.path.join(cfg.data, "MSCOCO", "cocoapi", "images", sub)

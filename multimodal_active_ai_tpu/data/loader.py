@@ -124,35 +124,41 @@ class HostLoader:
             # (the reference leans on DALI's threaded nvJPEG decode,
             # ``NVIDIA_DALI_Pipelines.py:48``); decode of batch N+1 overlaps
             # the device step on batch N through the prefetch queue.
-            with ThreadPoolExecutor(max_workers=max(self.num_threads, 1)) as pool:
-                for b in range(nbatches):
-                    if stop.is_set():
-                        return
-                    sel = order[b * self.batch_size:(b + 1) * self.batch_size]
-                    images = np.empty((self.batch_size, self.canvas_size,
-                                       self.canvas_size, 3), np.uint8)
-                    labels = np.empty((self.batch_size,), np.int32)
-                    if self.all_labels is not None:
-                        labels[:] = [self.all_labels[i] for i in sel]
-                    else:
-                        labels[:] = -1
-                    if (self._native is not None
-                            and hasattr(self._native, "decode_batch")):
-                        paths = [self.all_files[i] for i in sel]
-                        ok = self._native.decode_batch(
-                            paths, self.canvas_size, images,
-                            num_threads=self.num_threads)
-                        misses = [j for j in range(len(sel)) if not ok[j]]
-                    else:
-                        misses = list(range(len(sel)))
-                    if misses:  # PIL path (or per-file native punts, e.g. PNG)
-                        def dec(j):
-                            images[j] = _decode_resize_pil(
-                                self.all_files[sel[j]], self.canvas_size)
-                        list(pool.map(dec, misses))
-                    if not _put_until(out_q, (images, labels), stop):
-                        return
-            _put_until(out_q, None, stop)
+            try:
+                with ThreadPoolExecutor(
+                        max_workers=max(self.num_threads, 1)) as pool:
+                    for b in range(nbatches):
+                        if stop.is_set():
+                            return
+                        sel = order[b * self.batch_size:(b + 1) * self.batch_size]
+                        images = np.empty((self.batch_size, self.canvas_size,
+                                           self.canvas_size, 3), np.uint8)
+                        labels = np.empty((self.batch_size,), np.int32)
+                        if self.all_labels is not None:
+                            labels[:] = [self.all_labels[i] for i in sel]
+                        else:
+                            labels[:] = -1
+                        if (self._native is not None
+                                and hasattr(self._native, "decode_batch")):
+                            paths = [self.all_files[i] for i in sel]
+                            ok = self._native.decode_batch(
+                                paths, self.canvas_size, images,
+                                num_threads=self.num_threads)
+                            misses = [j for j in range(len(sel)) if not ok[j]]
+                        else:
+                            misses = list(range(len(sel)))
+                        if misses:  # PIL path (or native punts, e.g. PNG)
+                            def dec(j):
+                                images[j] = _decode_resize_pil(
+                                    self.all_files[sel[j]], self.canvas_size)
+                            list(pool.map(dec, misses))
+                        if not _put_until(out_q, (images, labels), stop):
+                            return
+                _put_until(out_q, None, stop)
+            except BaseException as exc:  # noqa: BLE001
+                # a dead producer must not leave the consumer parked on
+                # out_q.get() forever: forward the error as the sentinel
+                _put_until(out_q, exc, stop)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
@@ -161,6 +167,9 @@ class HostLoader:
                 item = out_q.get()
                 if item is None:
                     return
+                if isinstance(item, BaseException):
+                    raise RuntimeError(
+                        "HostLoader producer failed") from item
                 yield item
         finally:
             stop.set()

@@ -87,14 +87,18 @@ def make_global_array(x, sharding: NamedSharding):
     shares into one global array (``jax.make_array_from_process_local_data``),
     the TPU equivalent of DALI's per-rank shards feeding one DDP step
     (``NVIDIA_DALI_Pipelines.py:36-37`` + ``Contrastive_Learning.py:418-424``).
-    Single-process runs reduce to a plain sharded ``device_put``; device
-    arrays (e.g. from :class:`SyntheticReader`) pass through for jit to
-    lay out.
+    Single-process runs reduce to a plain sharded ``device_put``, with
+    device arrays (e.g. from :class:`SyntheticReader`) passing through for
+    jit to lay out. Multi-process runs MUST assemble — a process-local
+    device array fed to a non-addressable-mesh jit is an error — so device
+    arrays are pulled to host and stitched like numpy ones.
     """
-    if not isinstance(x, np.ndarray):
-        return x
     if jax.process_count() == 1:
+        if not isinstance(x, np.ndarray):
+            return x
         return jax.device_put(x, sharding)
+    if not isinstance(x, np.ndarray):
+        x = np.asarray(jax.device_get(x))
     return jax.make_array_from_process_local_data(sharding, x)
 
 

@@ -123,7 +123,9 @@ def import_torch_simclr_state_dict(state_dict: dict[str, Any], params: dict,
         node = tree
         for k in path[:-1]:
             node = node[k]
-        assert node[path[-1]].shape == value.shape, (path, node[path[-1]].shape, value.shape)
+        if node[path[-1]].shape != value.shape:  # not assert: survives -O
+            raise ValueError(f"checkpoint import shape mismatch at {path}: "
+                             f"{value.shape} != {node[path[-1]].shape}")
         node[path[-1]] = value.astype(node[path[-1]].dtype)
 
     f_params = params["f"]
@@ -241,8 +243,9 @@ def import_torch_detr_state_dict(state_dict: dict[str, Any], params: dict,
         node = tree
         for k in path[:-1]:
             node = node[k]
-        assert node[path[-1]].shape == value.shape, \
-            (path, node[path[-1]].shape, value.shape)
+        if node[path[-1]].shape != value.shape:  # not assert: survives -O
+            raise ValueError(f"checkpoint import shape mismatch at {path}: "
+                             f"{value.shape} != {node[path[-1]].shape}")
         node[path[-1]] = value.astype(node[path[-1]].dtype)
 
     # ---- backbone: frozen-BN encoder under backbone.0.body.* -------------
@@ -295,6 +298,23 @@ def import_torch_detr_state_dict(state_dict: dict[str, Any], params: dict,
     # ---- transformer -------------------------------------------------------
     tr = params["transformer"]
 
+    def put_mha(layer, slot, prefix):
+        """Validated wholesale replacement of one flax MHA subtree: every
+        produced tensor must match the template's shape (catches a wrong
+        ``nheads`` — any divisor of d_model reshapes successfully but
+        scrambles the head split)."""
+        new = _torch_mha_to_flax(sd, prefix, nheads)
+        tmpl = layer[slot]["MultiHeadDotProductAttention_0"]
+        for name, node in new.items():
+            for k, v in node.items():
+                want = np.asarray(tmpl[name][k]).shape
+                if v.shape != want:
+                    raise ValueError(
+                        f"{prefix}.{name}.{k}: imported shape {v.shape} != "
+                        f"model shape {want} (wrong --nheads?)")
+                node[k] = v.astype(np.asarray(tmpl[name][k]).dtype)
+        layer[slot]["MultiHeadDotProductAttention_0"] = new
+
     def put_common(layer, prefix, n_norms):
         put(layer, ("Dense_0", "kernel"), sd[f"{prefix}.linear1.weight"].T)
         put(layer, ("Dense_0", "bias"), sd[f"{prefix}.linear1.bias"])
@@ -309,17 +329,14 @@ def import_torch_detr_state_dict(state_dict: dict[str, Any], params: dict,
             i = int(name.split("_")[-1])
             prefix = f"transformer.encoder.layers.{i}"
             layer = tr[name]
-            layer["_MHA_0"]["MultiHeadDotProductAttention_0"] = \
-                _torch_mha_to_flax(sd, f"{prefix}.self_attn", nheads)
+            put_mha(layer, "_MHA_0", f"{prefix}.self_attn")
             put_common(layer, prefix, 2)
         elif name.startswith("TransformerDecoderLayer_"):
             i = int(name.split("_")[-1])
             prefix = f"transformer.decoder.layers.{i}"
             layer = tr[name]
-            layer["_MHA_0"]["MultiHeadDotProductAttention_0"] = \
-                _torch_mha_to_flax(sd, f"{prefix}.self_attn", nheads)
-            layer["_MHA_1"]["MultiHeadDotProductAttention_0"] = \
-                _torch_mha_to_flax(sd, f"{prefix}.multihead_attn", nheads)
+            put_mha(layer, "_MHA_0", f"{prefix}.self_attn")
+            put_mha(layer, "_MHA_1", f"{prefix}.multihead_attn")
             put_common(layer, prefix, 3)
     put(tr, ("decoder_norm", "scale"), sd["transformer.decoder.norm.weight"])
     put(tr, ("decoder_norm", "bias"), sd["transformer.decoder.norm.bias"])

@@ -210,3 +210,18 @@ def test_bbox_overlay_draws_rectangles():
     assert (out[30:32, 20:61] == (255, 32, 32)).all()   # top edge
     assert (out[30:81, 20:22] == (255, 32, 32)).all()   # left edge
     assert (out[50, 40] == 0).all()                     # interior untouched
+
+
+def test_loader_propagates_producer_failure(tmp_path):
+    """A corrupt/unreadable file must surface as an error, not a hang: the
+    producer forwards its exception through the queue as the sentinel."""
+    import pytest
+    from multimodal_active_ai_tpu.data.loader import HostLoader
+
+    bad = tmp_path / "corrupt.jpg"
+    bad.write_bytes(b"\xff\xd8 not a real jpeg")
+    loader = HostLoader([str(bad)] * 4, batch_size=2, canvas_size=32,
+                        num_threads=2)
+    with pytest.raises(RuntimeError, match="producer failed"):
+        for _ in iter(loader):
+            pass
