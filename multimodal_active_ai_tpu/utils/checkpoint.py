@@ -42,6 +42,8 @@ def save_checkpoint(state: dict, is_best: bool,
     (optax chains), which msgpack cannot serialize directly."""
     payload = serialization.msgpack_serialize(
         serialization.to_state_dict(_to_host(state)))
+    parent = os.path.dirname(os.path.abspath(filename))
+    os.makedirs(parent, exist_ok=True)
     tmp = filename + ".tmp"
     with open(tmp, "wb") as f:
         f.write(payload)
@@ -353,6 +355,43 @@ def import_torch_detr_state_dict(state_dict: dict[str, Any], params: dict,
             sd["backbone.1.col_embed.weight"])
 
     return params, batch_stats
+
+
+def import_torch_classifier_state_dict(state_dict: dict[str, Any],
+                                       params: dict, num_fixations: int
+                                       ) -> dict:
+    """Map a reference linear-probe classifier ``state_dict``
+    (``classifier_checkpoint.pth.tar``, ``Representation_Evaluation.py:
+    528-533``; the MLR module's single ``linear`` layer) onto this
+    framework's :class:`LogisticRegression` params.
+
+    The probe consumes F concatenated per-fixation feature flattens; torch
+    flattens each fixation's (C, 4, 4) map C-major
+    (``Representation_Evaluation.py:622-654``) while this framework
+    flattens NHWC, so each fixation block of the weight is permuted
+    independently before transposing to the flax (in, out) kernel.
+    """
+    import copy
+
+    params = copy.deepcopy(jax.tree.map(np.asarray, params))
+    sd = {k: np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach") else v)
+          for k, v in state_dict.items()}
+    w = sd["linear.weight"]          # (num_classes, F*C*16)
+    b = sd["linear.bias"]
+    out_dim, in_dim = w.shape
+    per_fix = in_dim // num_fixations
+    c = per_fix // 16                # spatial output is 4x4 (resnet surgery)
+    blocks = w.reshape(out_dim, num_fixations, c, 4, 4)
+    blocks = np.transpose(blocks, (0, 1, 3, 4, 2))     # -> (out, F, 4, 4, C)
+    kernel = blocks.reshape(out_dim, in_dim).T
+    tmpl = params["Dense_0"]
+    if tmpl["kernel"].shape != kernel.shape:
+        raise ValueError(
+            f"classifier import: kernel {kernel.shape} != model "
+            f"{tmpl['kernel'].shape} (arch/num_fixations mismatch?)")
+    tmpl["kernel"] = kernel.astype(tmpl["kernel"].dtype)
+    tmpl["bias"] = b.astype(tmpl["bias"].dtype)
+    return params
 
 
 def import_torch_detr_checkpoint(path: str, params: dict, batch_stats: dict,

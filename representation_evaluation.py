@@ -116,7 +116,22 @@ def main(argv=None):
     best_file = os.path.join(cfg.checkpoint_dir, "classifier_model_best.msgpack")
     best_prec1 = 0.0
     start_epoch = cfg.start_epoch
-    if cfg.resume and os.path.isfile(cfg.resume):
+    if cfg.resume and os.path.isfile(cfg.resume) and \
+            cfg.resume.endswith((".pth.tar", ".pth", ".pt")):
+        # reference-trained probe head (classifier_checkpoint.pth.tar,
+        # Representation_Evaluation.py:528-533)
+        import torch
+
+        payload = torch.load(cfg.resume, map_location="cpu")
+        probe_state = probe_state.replace(
+            params=ckpt.import_torch_classifier_state_dict(
+                payload.get("state_dict", payload),
+                jax.device_get(probe_state.params), cfg.num_fixations))
+        start_epoch = int(payload.get("epoch", 0))
+        best_prec1 = float(payload.get("best_prec1", 0.0))
+        print(f"=> imported reference classifier '{cfg.resume}' "
+              f"(epoch {start_epoch})")
+    elif cfg.resume and os.path.isfile(cfg.resume):
         payload = ckpt.load_checkpoint(cfg.resume)
         probe_state = probe_state.replace(
             params=ckpt.restore_like(probe_state.params,

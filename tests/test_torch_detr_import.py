@@ -159,3 +159,32 @@ def test_detr_checkpoint_import_places_weights(rng):
                       g, s)
     assert out["pred_logits"].shape == (2, Q, CLS)
     assert np.isfinite(np.asarray(out["pred_logits"])).all()
+
+
+def test_classifier_checkpoint_import_matches_torch_forward(rng):
+    """Probe-head import: identical logits from torch's C-major-flattened
+    features and our NHWC-flattened features of the same feature map."""
+    import jax
+    from multimodal_active_ai_tpu.models import LogisticRegression
+    from multimodal_active_ai_tpu.utils.checkpoint import (
+        import_torch_classifier_state_dict,
+    )
+
+    F_FIX, C, NCLS, B = 2, 8, 10, 3
+    torch.manual_seed(1)
+    lin = torch.nn.Linear(F_FIX * C * 16, NCLS)
+    feats = torch.randn(B, F_FIX, C, 4, 4)       # (B, F, C, H, W)
+    torch_in = feats.reshape(B, F_FIX, -1).reshape(B, -1)   # C-major per fix
+    with torch.no_grad():
+        t_logits = lin(torch_in)
+
+    probe = LogisticRegression(num_classes=NCLS)
+    pv = probe.init(rng, jnp.ones((2, F_FIX * C * 16)))
+    params = import_torch_classifier_state_dict(
+        {"linear." + k: v for k, v in lin.state_dict().items()},
+        jax.device_get(pv["params"]), num_fixations=F_FIX)
+    nhwc = feats.permute(0, 1, 3, 4, 2).reshape(B, -1).numpy()  # NHWC per fix
+    j_logits = probe.apply({"params": jax.tree.map(jnp.asarray, params)},
+                           jnp.asarray(nhwc))
+    np.testing.assert_allclose(np.asarray(j_logits), t_logits.numpy(),
+                               rtol=1e-4, atol=1e-5)
