@@ -84,7 +84,9 @@ def main(argv=None):
     enc_variables = load_pretrained_encoder(encoder, cfg, rng, sample)
 
     # classifier: LogisticRegression(C*4*4*num_fixations, num_classes)
-    # (Representation_Evaluation.py:427-439)
+    # (Representation_Evaluation.py:427-439; unknown types raise like :437)
+    if cfg.classifier not in ("logistic_regression", ""):
+        raise Exception(f"error: Unknown classifier {cfg.classifier}")
     feat_dim = encoder_feature_dim(cfg.arch) * 4 * 4 * cfg.num_fixations
     probe = LogisticRegression(num_classes=cfg.num_classes)
 
