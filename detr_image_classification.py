@@ -199,6 +199,8 @@ def main(argv=None):
         start_epoch = int(payload["epoch"])
         best_prec1 = float(payload["best_prec1"])
         print(f"=> resumed from '{cfg.resume}' (epoch {start_epoch})")
+    elif cfg.resume:
+        print(f"=> no checkpoint found at '{cfg.resume}'")
 
     def put(x):
         return make_global_array(x, batch_sharding)

@@ -122,6 +122,9 @@ def main(argv=None):
             step=int(payload.get("step", 0)))
         start_epoch = int(payload["epoch"])
         best_prec1 = float(payload["best_prec1"])
+        print(f"=> resumed from '{cfg.resume}' (epoch {start_epoch})")
+    elif cfg.resume:
+        print(f"=> no checkpoint found at '{cfg.resume}'")
     if cfg.dqn_resume and os.path.isfile(cfg.dqn_resume):
         payload = ckpt.load_checkpoint(cfg.dqn_resume)
         policy_state = policy_state.replace(

@@ -79,7 +79,8 @@ class EvalConfig:
     data: str = _flag("data", default=None, positional=True)
     arch: str = _flag("--arch", "-a", default="ResNet18", choices=MODEL_NAMES)
     # classifier TYPE, not a path (Representation_Evaluation.py:101,427-437)
-    classifier: str = _flag("--classifier", default="logistic_regression")
+    classifier: str = _flag("--classifier", default="logistic_regression",
+                            choices=["logistic_regression"])
     dataset: str = _flag("--dataset", default="imagenet", choices=DATASETS)
     workers: int = _flag("-j", "--workers", default=4)
     epochs: int = _flag("--epochs", default=90)

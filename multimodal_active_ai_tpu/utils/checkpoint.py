@@ -42,14 +42,15 @@ def save_checkpoint(state: dict, is_best: bool,
     (optax chains), which msgpack cannot serialize directly."""
     payload = serialization.msgpack_serialize(
         serialization.to_state_dict(_to_host(state)))
-    parent = os.path.dirname(os.path.abspath(filename))
-    os.makedirs(parent, exist_ok=True)
+    os.makedirs(os.path.dirname(os.path.abspath(filename)), exist_ok=True)
     tmp = filename + ".tmp"
     with open(tmp, "wb") as f:
         f.write(payload)
     os.replace(tmp, filename)
     if is_best:
         print("Saving a new best model with precesion {}".format(state.get("best_prec1")))
+        os.makedirs(os.path.dirname(os.path.abspath(best_filename)),
+                    exist_ok=True)
         shutil.copyfile(filename, best_filename)
 
 
@@ -379,11 +380,17 @@ def import_torch_classifier_state_dict(state_dict: dict[str, Any],
     w = sd["linear.weight"]          # (num_classes, F*C*16)
     b = sd["linear.bias"]
     out_dim, in_dim = w.shape
+    if in_dim % (num_fixations * 16) != 0:
+        raise ValueError(
+            f"classifier import: input dim {in_dim} not divisible by "
+            f"num_fixations*16 = {num_fixations * 16} "
+            f"(checkpoint trained with a different --num-fixations/arch?)")
     per_fix = in_dim // num_fixations
     c = per_fix // 16                # spatial output is 4x4 (resnet surgery)
-    blocks = w.reshape(out_dim, num_fixations, c, 4, 4)
-    blocks = np.transpose(blocks, (0, 1, 3, 4, 2))     # -> (out, F, 4, 4, C)
-    kernel = blocks.reshape(out_dim, in_dim).T
+    kernel = np.concatenate(
+        [torch_linear_on_flattened_conv(w[:, f * per_fix:(f + 1) * per_fix],
+                                        (c, 4, 4))
+         for f in range(num_fixations)], axis=0)       # (F*16*C, out)
     tmpl = params["Dense_0"]
     if tmpl["kernel"].shape != kernel.shape:
         raise ValueError(

@@ -125,14 +125,26 @@ def main(argv=None):
         import torch
 
         payload = torch.load(cfg.resume, map_location="cpu")
+        start_epoch = int(payload.get("epoch", 0))
+        best_prec1 = float(payload.get("best_prec1", 0.0))
+        # resume the LR schedule where the checkpoint left off: optax keeps
+        # its step counters (int scalars) inside opt_state, so advance them
+        # to the checkpoint's global step. The torch Adam moments are NOT
+        # importable into optax and restart — documented divergence (the
+        # reference restores them, Representation_Evaluation.py:468-486).
+        step0 = start_epoch * len(train_reader)
+        opt_state = jax.tree.map(
+            lambda x: jnp.asarray(step0, x.dtype)
+            if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.integer)
+            and jnp.ndim(x) == 0 else x,
+            probe_state.opt_state)
         probe_state = probe_state.replace(
             params=ckpt.import_torch_classifier_state_dict(
                 payload.get("state_dict", payload),
-                jax.device_get(probe_state.params), cfg.num_fixations))
-        start_epoch = int(payload.get("epoch", 0))
-        best_prec1 = float(payload.get("best_prec1", 0.0))
+                jax.device_get(probe_state.params), cfg.num_fixations),
+            opt_state=opt_state, step=step0)
         print(f"=> imported reference classifier '{cfg.resume}' "
-              f"(epoch {start_epoch})")
+              f"(epoch {start_epoch}; optimizer moments restart)")
     elif cfg.resume and os.path.isfile(cfg.resume):
         payload = ckpt.load_checkpoint(cfg.resume)
         probe_state = probe_state.replace(
@@ -144,6 +156,8 @@ def main(argv=None):
         start_epoch = int(payload["epoch"])
         best_prec1 = float(payload["best_prec1"])
         print(f"=> resumed classifier from '{cfg.resume}' (epoch {start_epoch})")
+    elif cfg.resume:
+        print(f"=> no checkpoint found at '{cfg.resume}'")
 
     def put(x):
         return make_global_array(x, batch_sharding)
