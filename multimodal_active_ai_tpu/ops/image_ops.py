@@ -132,8 +132,10 @@ import numpy as _np
 _RGB2YIQ_NP = _np.array([[0.299, 0.587, 0.114],
                          [0.596, -0.274, -0.322],
                          [0.211, -0.523, 0.312]], dtype=_np.float64)
-_RGB2YIQ = jnp.asarray(_RGB2YIQ_NP, dtype=jnp.float32)
-_YIQ2RGB = jnp.asarray(_np.linalg.inv(_RGB2YIQ_NP), dtype=jnp.float32)
+# host-side constants only: a module-level jnp.asarray would initialize
+# the XLA backend at import time, breaking jax.distributed.initialize on
+# multi-host launches (it must run before any backend use)
+_YIQ2RGB_NP = _np.linalg.inv(_RGB2YIQ_NP)
 
 
 def color_twist_matrix(brightness: jnp.ndarray, contrast: jnp.ndarray,
@@ -154,7 +156,8 @@ def color_twist_matrix(brightness: jnp.ndarray, contrast: jnp.ndarray,
         jnp.stack([jnp.zeros_like(cos_h), saturation * cos_h, -saturation * sin_h]),
         jnp.stack([jnp.zeros_like(cos_h), saturation * sin_h, saturation * cos_h]),
     ])  # (3, 3)
-    m = _YIQ2RGB @ hs @ _RGB2YIQ
+    m = (jnp.asarray(_YIQ2RGB_NP, jnp.float32) @ hs
+         @ jnp.asarray(_RGB2YIQ_NP, jnp.float32))
     # contrast about 128, then brightness scale: out = b*(128 + c*(x - 128))
     m = brightness * contrast * m
     offset = brightness * 128.0 * (1.0 - contrast) * jnp.ones((3,), jnp.float32)

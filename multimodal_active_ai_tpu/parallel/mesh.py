@@ -34,7 +34,11 @@ def initialize_distributed(coordinator_address: str | None = None,
 
     Single-process runs (the common case in tests and on one TPU VM) are a
     no-op, mirroring the reference's graceful single-process fallback
-    (``Contrastive_Learning.py:87-93``).
+    (``Contrastive_Learning.py:87-93``). On managed TPU pods the three
+    arguments auto-detect; elsewhere (or for the reference's
+    MASTER_ADDR-style launch), set ``MAAI_NUM_PROCESSES``,
+    ``MAAI_COORDINATOR`` (host:port) and ``MAAI_PROCESS_ID`` — the env
+    equivalent of the reference's RANK/WORLD_SIZE/MASTER_ADDR contract.
     """
     n = num_processes
     if n is None:
@@ -43,9 +47,13 @@ def initialize_distributed(coordinator_address: str | None = None,
         if verbose:
             print("single-process run; skipping jax.distributed.initialize")
         return
+    if coordinator_address is None:
+        coordinator_address = os.environ.get("MAAI_COORDINATOR")
+    if process_id is None and "MAAI_PROCESS_ID" in os.environ:
+        process_id = int(os.environ["MAAI_PROCESS_ID"])
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
-        num_processes=num_processes,
+        num_processes=n,
         process_id=process_id,
     )
     if verbose:
