@@ -238,6 +238,8 @@ def main():
         # a single window can catch a stall (keys still vary per step —
         # never time constant args, the backend dedupes)
         windows = int(os.environ.get("BENCH_WINDOWS", "3"))
+        if windows < 1:
+            raise ValueError(f"BENCH_WINDOWS must be >= 1, got {windows}")
         all_keys = jax.device_get(jax.random.split(rng, windows * steps + 7))
         dt = float("inf")
         ki = 1

@@ -20,12 +20,7 @@ WORKER = os.path.join(os.path.dirname(__file__), "..", "tools",
                       "multiprocess_check.py")
 
 
-@pytest.mark.slow
-def test_two_process_feed_and_reduction():
-    s = socket.socket()
-    s.bind(("127.0.0.1", 0))
-    port = s.getsockname()[1]
-    s.close()
+def _run_pair(port):
     env = {**os.environ, "JAX_PLATFORMS": "cpu", "MAAI_PLATFORM": "cpu"}
     # each worker gets its own backend: drop this test process's forced
     # device-count flags so workers see 1 local CPU device each
@@ -35,9 +30,30 @@ def test_two_process_feed_and_reduction():
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env)
         for i in range(2)]
     outs = []
-    for p in procs:
-        out, _ = p.communicate(timeout=300)
-        outs.append(out)
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=300)
+            outs.append(out)
+    finally:
+        for p in procs:  # never leak workers (strays break this machine)
+            if p.poll() is None:
+                p.kill()
+                p.wait()
+    return procs, outs
+
+
+@pytest.mark.slow
+def test_two_process_feed_and_reduction():
+    # two attempts with fresh ephemeral ports: the bind(0)/close()/reuse
+    # port pick has an unavoidable TOCTOU window against other processes
+    for attempt in range(2):
+        s = socket.socket()
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+        s.close()
+        procs, outs = _run_pair(port)
+        if all(p.returncode == 0 for p in procs) or attempt == 1:
+            break
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {i} failed:\n{out[-2000:]}"
         assert f"MULTIPROCESS OK proc {i}/2" in out, out[-2000:]

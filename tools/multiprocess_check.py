@@ -29,7 +29,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main(proc_id: int, num_procs: int, coordinator: str) -> None:
-    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    # platform comes from the environment: CI exports JAX_PLATFORMS=cpu for
+    # the Gloo-backed run; on a real pod leave it unset so the native TPU
+    # platform (ICI/DCN collectives) is what actually gets verified
     import jax
 
     if os.environ.get("JAX_PLATFORMS") == "cpu":
