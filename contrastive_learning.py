@@ -200,6 +200,7 @@ def main(argv=None):
     def put(images):
         return make_global_array(images, batch_sharding)
 
+    epoch = start_epoch - 1
     for epoch in range(start_epoch, cfg.epochs):
         # ---- train (reference train(), Contrastive_Learning.py:577-740) ----
         batch_time = AverageMeter()
@@ -265,6 +266,20 @@ def main(argv=None):
             print(perf_line(prec1, prec5, best_prec1, global_batch, total_time.avg))
         if cfg.test:
             break
+
+    if cfg.export_torch and jax.process_index() == 0:
+        # the export half of the checkpoint contract: a model pretrained
+        # here becomes consumable by the reference stack
+        # (Representation_Evaluation.py:405-422 loads this layout)
+        sd = ckpt.export_torch_simclr_state_dict(
+            jax.device_get(state.params), jax.device_get(state.batch_stats))
+        ckpt.save_torch_checkpoint(
+            sd, cfg.export_torch, epoch=epoch + 1, best_prec1=best_prec1,
+            extra={"loss_history": [float(x) for x in loss_history],
+                   "top1_acc_history": [float(x) for x in top1_acc_history],
+                   "top5_acc_history": [float(x) for x in top5_acc_history],
+                   "total_time": total_time.sum})
+        print(f"=> exported reference-layout checkpoint to '{cfg.export_torch}'")
 
     return state
 

@@ -224,6 +224,7 @@ def main(argv=None):
         return prec1, prec5
 
     total_time = AverageMeter()
+    epoch = start_epoch - 1
     for epoch in range(start_epoch, cfg.epochs):
         batch_time, losses = AverageMeter(), AverageMeter()
         end = time()
@@ -260,6 +261,15 @@ def main(argv=None):
                   f"{best_prec1}\n##Perf {global_batch / total_time.avg if total_time.avg else float('nan')}")
         if cfg.test:
             break
+
+    if cfg.export_torch and jax.process_index() == 0:
+        # reference detr_classifier_checkpoint.pth.tar layout
+        # (DETR_Image_Classification.py:463-468, detr_CLA module names)
+        sd = ckpt.export_torch_detr_state_dict(
+            jax.device_get(state.params), jax.device_get(state.batch_stats))
+        ckpt.save_torch_checkpoint(sd, cfg.export_torch, epoch=epoch + 1,
+                                   best_prec1=best_prec1)
+        print(f"=> exported reference-layout checkpoint to '{cfg.export_torch}'")
     return state
 
 

@@ -68,6 +68,9 @@ class ContrastiveConfig:
                               help="synthetic dataset size when --dataset synthetic")
     multislice: bool = _flag("--multislice", default=False, action="store_true",
                              help="hybrid DCN(slice)×ICI mesh on multi-slice topologies")
+    export_torch: str = _flag("--export-torch", default="",
+                              help="also write a reference-layout .pth.tar "
+                                   "checkpoint (torch.save) to this path")
 
 
 @dataclass
@@ -106,6 +109,9 @@ class EvalConfig:
     num_examples: int = _flag("--num-examples", default=0)
     num_classes: int = _flag("--num-classes", default=1000)
     multislice: bool = _flag("--multislice", default=False, action="store_true")
+    export_torch: str = _flag("--export-torch", default="",
+                              help="also write a reference-layout .pth.tar "
+                                   "checkpoint (torch.save) to this path")
 
 
 @dataclass
@@ -153,6 +159,9 @@ class DETRConfig:
     num_examples: int = _flag("--num-examples", default=0)
     num_classes: int = _flag("--num-classes", default=1000)
     multislice: bool = _flag("--multislice", default=False, action="store_true")
+    export_torch: str = _flag("--export-torch", default="",
+                              help="also write a reference-layout .pth.tar "
+                                   "checkpoint (torch.save) to this path")
 
 
 @dataclass

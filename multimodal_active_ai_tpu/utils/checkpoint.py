@@ -401,6 +401,278 @@ def import_torch_classifier_state_dict(state_dict: dict[str, Any],
     return params
 
 
+# ---------------------------------------------------------------------------
+# PyTorch reference-checkpoint EXPORT (the inverse walks): models pretrained
+# in this framework become consumable by the reference stack — the other half
+# of the "checkpoint semantics match the PyTorch reference bit-for-layout"
+# contract (``Model_Util.py:95-99`` writer, ``Contrastive_Learning.py:521-530``
+# schema). Each exporter is the exact inverse of its importer above and is
+# round-trip-tested (flax -> state_dict -> import -> identical leaves) plus
+# forward-parity-tested against a reference-layout torch model.
+
+
+def _flax_conv_to_torch(k: np.ndarray) -> np.ndarray:
+    # flax HWIO -> torch OIHW
+    return np.ascontiguousarray(np.transpose(k, (3, 2, 0, 1)))
+
+
+def flax_linear_on_flattened_conv(kernel: np.ndarray,
+                                  chw: tuple[int, int, int]) -> np.ndarray:
+    """Inverse of :func:`torch_linear_on_flattened_conv`: convert a flax
+    Dense kernel consuming the NHWC flatten of a feature map into the torch
+    Linear weight consuming ``x.view(B, -1)`` of the NCHW map."""
+    c, h, w = chw
+    out_dim = kernel.shape[1]
+    return np.ascontiguousarray(
+        np.transpose(kernel.reshape(h, w, c, out_dim), (3, 2, 0, 1))
+        .reshape(out_dim, c * h * w))
+
+
+def export_torch_simclr_state_dict(params: dict, batch_stats: dict
+                                   ) -> dict[str, np.ndarray]:
+    """Emit a reference-layout SimCLR ``state_dict``
+    (``f.conv1.weight`` ... ``g.layers.2.bias`` — the tree
+    ``SimCLR_Module(f=resnet, g=MLP)`` saves at
+    ``Contrastive_Learning.py:523``), inverse of
+    :func:`import_torch_simclr_state_dict`. Values are numpy float32 (int64
+    for ``num_batches_tracked``, which torch BatchNorm2d checkpoints carry).
+    """
+    params = jax.tree.map(np.asarray, params)
+    batch_stats = jax.tree.map(np.asarray, batch_stats)
+    sd: dict[str, np.ndarray] = {}
+
+    def put_bn(tkey, p_bn, s_bn):
+        sd[tkey + ".weight"] = np.asarray(p_bn["scale"], np.float32)
+        sd[tkey + ".bias"] = np.asarray(p_bn["bias"], np.float32)
+        sd[tkey + ".running_mean"] = np.asarray(s_bn["mean"], np.float32)
+        sd[tkey + ".running_var"] = np.asarray(s_bn["var"], np.float32)
+        sd[tkey + ".num_batches_tracked"] = np.asarray(0, np.int64)
+
+    f_params, f_stats = params["f"], batch_stats["f"]
+    sd["f.conv1.weight"] = _flax_conv_to_torch(f_params["conv1"]["kernel"])
+    put_bn("f.bn1", f_params["bn1"], f_stats["bn1"])
+
+    for name in f_params:
+        if not name.startswith("layer"):
+            continue
+        stage, idx = name[5:].split("_")
+        prefix = f"f.layer{stage}.{idx}."
+        block_p, block_s = f_params[name], f_stats[name]
+        convs = sorted([k for k in block_p if k.startswith("Conv_")],
+                       key=lambda s: int(s.split("_")[1]))
+        bns = sorted([k for k in block_p if k.startswith("BatchNorm_")],
+                     key=lambda s: int(s.split("_")[1]))
+        # a downsample exists iff the LAST traced conv is a 1x1 reading the
+        # block input (BasicBlock: 2 main convs +1; Bottleneck: 3 main +1 —
+        # a bottleneck's conv3 is also 1x1 but reads the hidden width, so
+        # the input-channel check disambiguates len(convs)==3)
+        c_in_first = block_p[convs[0]]["kernel"].shape[2]
+        c_in_last = block_p[convs[-1]]["kernel"].shape[2]
+        has_down = len(convs) >= 3 and c_in_last == c_in_first and \
+            block_p[convs[-1]]["kernel"].shape[:2] == (1, 1)
+        n_main = len(convs) - (1 if has_down else 0)
+        for j in range(n_main):
+            sd[f"{prefix}conv{j + 1}.weight"] = _flax_conv_to_torch(
+                block_p[convs[j]]["kernel"])
+            put_bn(f"{prefix}bn{j + 1}", block_p[bns[j]], block_s[bns[j]])
+        if has_down:
+            sd[prefix + "downsample.0.weight"] = _flax_conv_to_torch(
+                block_p[convs[-1]]["kernel"])
+            put_bn(prefix + "downsample.1", block_p[bns[-1]], block_s[bns[-1]])
+
+    if "g" in params:
+        g = params["g"]
+        k0 = np.asarray(g["Dense_0"]["kernel"])
+        feat_c = k0.shape[0] // 16      # spatial output is 4x4 (resnet surgery)
+        sd["g.layers.0.weight"] = flax_linear_on_flattened_conv(
+            k0, (feat_c, 4, 4))
+        sd["g.layers.0.bias"] = np.asarray(g["Dense_0"]["bias"], np.float32)
+        sd["g.layers.2.weight"] = np.ascontiguousarray(
+            np.asarray(g["Dense_1"]["kernel"]).T)
+        sd["g.layers.2.bias"] = np.asarray(g["Dense_1"]["bias"], np.float32)
+    return sd
+
+
+def export_torch_classifier_state_dict(params: dict, num_fixations: int
+                                       ) -> dict[str, np.ndarray]:
+    """Emit the reference probe-classifier layout (the MLR module's single
+    ``linear`` layer, ``classifier_checkpoint.pth.tar``), inverse of
+    :func:`import_torch_classifier_state_dict`: each fixation block of the
+    kernel is independently permuted back to torch's C-major flatten."""
+    kernel = np.asarray(params["Dense_0"]["kernel"])   # (F*16*C, out)
+    bias = np.asarray(params["Dense_0"]["bias"])
+    in_dim, out_dim = kernel.shape
+    if in_dim % (num_fixations * 16) != 0:
+        raise ValueError(
+            f"classifier export: input dim {in_dim} not divisible by "
+            f"num_fixations*16 = {num_fixations * 16}")
+    per_fix = in_dim // num_fixations
+    c = per_fix // 16
+    w = np.concatenate(
+        [flax_linear_on_flattened_conv(
+            kernel[f * per_fix:(f + 1) * per_fix], (c, 4, 4))
+         for f in range(num_fixations)], axis=1)       # (out, F*C*16)
+    return {"linear.weight": np.ascontiguousarray(w.astype(np.float32)),
+            "linear.bias": bias.astype(np.float32)}
+
+
+def _flax_mha_to_torch(tree: dict, prefix: str) -> dict[str, np.ndarray]:
+    """Inverse of :func:`_torch_mha_to_flax`: flax MHA subtree ->
+    ``nn.MultiheadAttention`` tensors (packed qkv ``in_proj``)."""
+    d = np.asarray(tree["out"]["bias"]).shape[0]
+    rows = []
+    brows = []
+    for name in ("query", "key", "value"):
+        k = np.asarray(tree[name]["kernel"]).reshape(d, d)   # (d, nheads*hd)
+        rows.append(np.ascontiguousarray(k.T))               # y = W x rows
+        brows.append(np.asarray(tree[name]["bias"]).reshape(d))
+    wo = np.asarray(tree["out"]["kernel"]).reshape(d, d)     # (nheads*hd, d)
+    return {
+        f"{prefix}.in_proj_weight": np.concatenate(rows, 0).astype(np.float32),
+        f"{prefix}.in_proj_bias": np.concatenate(brows, 0).astype(np.float32),
+        f"{prefix}.out_proj.weight": np.ascontiguousarray(wo.T).astype(np.float32),
+        f"{prefix}.out_proj.bias": np.asarray(tree["out"]["bias"], np.float32),
+    }
+
+
+def export_torch_detr_state_dict(params: dict, batch_stats: dict
+                                 ) -> dict[str, np.ndarray]:
+    """Emit a reference-layout DETR classifier ``state_dict``
+    (``detr_classifier_checkpoint.pth.tar``, the ``detr_CLA/models`` tree:
+    ``backbone.0.body.*`` frozen-BN encoder, ``transformer.*``,
+    ``input_proj``/``query_embed``/``class_embed``), inverse of
+    :func:`import_torch_detr_state_dict`. Frozen-BN buffers carry no
+    ``num_batches_tracked`` (``backbone.py:35-70`` registers only
+    weight/bias/running_mean/running_var)."""
+    params = jax.tree.map(np.asarray, params)
+    batch_stats = jax.tree.map(np.asarray, batch_stats)
+    sd: dict[str, np.ndarray] = {}
+
+    def put_frozen(tkey, s_bn):
+        sd[tkey + ".weight"] = np.asarray(s_bn["weight"], np.float32)
+        sd[tkey + ".bias"] = np.asarray(s_bn["bias"], np.float32)
+        sd[tkey + ".running_mean"] = np.asarray(s_bn["mean"], np.float32)
+        sd[tkey + ".running_var"] = np.asarray(s_bn["var"], np.float32)
+
+    bb = "backbone.0.body."
+    f_params, f_stats = params["backbone_f"], batch_stats["backbone_f"]
+    sd[bb + "conv1.weight"] = _flax_conv_to_torch(f_params["conv1"]["kernel"])
+    put_frozen(bb + "bn1", f_stats["bn1"])
+    for name in f_params:
+        if not name.startswith("layer"):
+            continue
+        stage, idx = name[5:].split("_")
+        prefix = f"{bb}layer{stage}.{idx}."
+        block_p, block_s = f_params[name], f_stats[name]
+        convs = sorted([k for k in block_p if k.startswith("Conv_")],
+                       key=lambda s: int(s.split("_")[1]))
+        fbns = sorted([k for k in block_s if k.startswith("FrozenBatchNorm_")],
+                      key=lambda s: int(s.split("_")[1]))
+        c_in_first = block_p[convs[0]]["kernel"].shape[2]
+        c_in_last = block_p[convs[-1]]["kernel"].shape[2]
+        has_down = len(convs) >= 3 and c_in_last == c_in_first and \
+            block_p[convs[-1]]["kernel"].shape[:2] == (1, 1)
+        n_main = len(convs) - (1 if has_down else 0)
+        for j in range(n_main):
+            sd[f"{prefix}conv{j + 1}.weight"] = _flax_conv_to_torch(
+                block_p[convs[j]]["kernel"])
+            put_frozen(f"{prefix}bn{j + 1}", block_s[fbns[j]])
+        if has_down:
+            sd[prefix + "downsample.0.weight"] = _flax_conv_to_torch(
+                block_p[convs[-1]]["kernel"])
+            put_frozen(prefix + "downsample.1", block_s[fbns[-1]])
+
+    # heads
+    k = np.asarray(params["input_proj"]["kernel"])     # (16*C, hidden)
+    feat_c = k.shape[0] // 16
+    sd["input_proj.weight"] = flax_linear_on_flattened_conv(
+        k, (feat_c, 4, 4))[:, :, None]                 # Conv1d k=1: (out, in, 1)
+    sd["input_proj.bias"] = np.asarray(params["input_proj"]["bias"], np.float32)
+    sd["query_embed.weight"] = np.asarray(params["query_embed"], np.float32)
+    sd["class_embed.weight"] = np.ascontiguousarray(
+        np.asarray(params["class_embed"]["kernel"]).T.astype(np.float32))
+    sd["class_embed.bias"] = np.asarray(params["class_embed"]["bias"], np.float32)
+
+    # transformer
+    tr = params["transformer"]
+
+    def put_common(layer, prefix, n_norms):
+        sd[f"{prefix}.linear1.weight"] = np.ascontiguousarray(
+            np.asarray(layer["Dense_0"]["kernel"]).T.astype(np.float32))
+        sd[f"{prefix}.linear1.bias"] = np.asarray(layer["Dense_0"]["bias"], np.float32)
+        sd[f"{prefix}.linear2.weight"] = np.ascontiguousarray(
+            np.asarray(layer["Dense_1"]["kernel"]).T.astype(np.float32))
+        sd[f"{prefix}.linear2.bias"] = np.asarray(layer["Dense_1"]["bias"], np.float32)
+        for n in range(n_norms):
+            sd[f"{prefix}.norm{n + 1}.weight"] = np.asarray(
+                layer[f"LayerNorm_{n}"]["scale"], np.float32)
+            sd[f"{prefix}.norm{n + 1}.bias"] = np.asarray(
+                layer[f"LayerNorm_{n}"]["bias"], np.float32)
+
+    for name in tr:
+        if name.startswith("TransformerEncoderLayer_"):
+            i = int(name.split("_")[-1])
+            prefix = f"transformer.encoder.layers.{i}"
+            layer = tr[name]
+            sd.update(_flax_mha_to_torch(
+                layer["_MHA_0"]["MultiHeadDotProductAttention_0"],
+                f"{prefix}.self_attn"))
+            put_common(layer, prefix, 2)
+        elif name.startswith("TransformerDecoderLayer_"):
+            i = int(name.split("_")[-1])
+            prefix = f"transformer.decoder.layers.{i}"
+            layer = tr[name]
+            sd.update(_flax_mha_to_torch(
+                layer["_MHA_0"]["MultiHeadDotProductAttention_0"],
+                f"{prefix}.self_attn"))
+            sd.update(_flax_mha_to_torch(
+                layer["_MHA_1"]["MultiHeadDotProductAttention_0"],
+                f"{prefix}.multihead_attn"))
+            put_common(layer, prefix, 3)
+    sd["transformer.decoder.norm.weight"] = np.asarray(
+        tr["decoder_norm"]["scale"], np.float32)
+    sd["transformer.decoder.norm.bias"] = np.asarray(
+        tr["decoder_norm"]["bias"], np.float32)
+    if "LayerNorm_0" in tr:     # pre-norm variant's final encoder norm
+        sd["transformer.encoder.norm.weight"] = np.asarray(
+            tr["LayerNorm_0"]["scale"], np.float32)
+        sd["transformer.encoder.norm.bias"] = np.asarray(
+            tr["LayerNorm_0"]["bias"], np.float32)
+    if "pos_embed" in params and isinstance(params["pos_embed"], dict) \
+            and "row_embed" in params["pos_embed"]:
+        sd["backbone.1.row_embed.weight"] = np.asarray(
+            params["pos_embed"]["row_embed"]["embedding"], np.float32)
+        sd["backbone.1.col_embed.weight"] = np.asarray(
+            params["pos_embed"]["col_embed"]["embedding"], np.float32)
+    return sd
+
+
+def save_torch_checkpoint(state_dict: dict[str, np.ndarray], path: str, *,
+                          epoch: int = 0, best_prec1: float = 0.0,
+                          optimizer: Any = None,
+                          extra: dict | None = None) -> None:
+    """Write a reference-schema ``.pth.tar`` via ``torch.save``:
+    ``{epoch, state_dict, best_prec1, optimizer, **extra}``
+    (``Contrastive_Learning.py:521-530`` — SimCLR adds ``loss_history``/
+    ``top1_acc_history``/``top5_acc_history``/``total_time`` through
+    ``extra``; probe/DETR use the 4-key schema,
+    ``Representation_Evaluation.py:528-533``). Requires torch at call time.
+    """
+    import torch
+
+    payload = {
+        "epoch": int(epoch),
+        # torch.tensor copies — jax device_get arrays are non-writable
+        "state_dict": {k: torch.tensor(np.asarray(v))
+                       for k, v in state_dict.items()},
+        "best_prec1": best_prec1,
+        "optimizer": optimizer,
+    }
+    payload.update(extra or {})
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    torch.save(payload, path)
+
+
 def import_torch_detr_checkpoint(path: str, params: dict, batch_stats: dict,
                                  nheads: int = 8):
     """Load a reference ``detr_classifier_checkpoint.pth.tar`` and map it

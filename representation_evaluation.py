@@ -182,6 +182,7 @@ def main(argv=None):
         return prec1, prec5
 
     total_time = AverageMeter()
+    epoch = start_epoch - 1
     for epoch in range(start_epoch, cfg.epochs):
         batch_time, losses = AverageMeter(), AverageMeter()
         end = time()
@@ -219,6 +220,15 @@ def main(argv=None):
                   f"{best_prec1}\n##Perf {global_batch / total_time.avg if total_time.avg else float('nan')}")
         if cfg.test:
             break
+
+    if cfg.export_torch and jax.process_index() == 0:
+        # reference classifier_checkpoint.pth.tar layout
+        # (Representation_Evaluation.py:528-533, MLR 'linear' naming)
+        sd = ckpt.export_torch_classifier_state_dict(
+            jax.device_get(probe_state.params), cfg.num_fixations)
+        ckpt.save_torch_checkpoint(sd, cfg.export_torch, epoch=epoch + 1,
+                                   best_prec1=best_prec1)
+        print(f"=> exported reference-layout checkpoint to '{cfg.export_torch}'")
     return probe_state
 
 
