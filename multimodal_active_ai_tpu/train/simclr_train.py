@@ -62,7 +62,7 @@ def create_train_state(model, optimizer, rng, sample_glimpses) -> TrainState:
 
 def make_train_step(model, mesh, retina_cfg: retina.RetinaConfig,
                     num_fixations: int, temperature: float,
-                    donate: bool = True):
+                    donate: bool = True, unroll: bool | None = None):
     """Build the jitted train step.
 
     Returns ``step(state, images_u8, key) -> (state, metrics)`` where
@@ -72,7 +72,17 @@ def make_train_step(model, mesh, retina_cfg: retina.RetinaConfig,
     ``Contrastive_Learning.py:729``). The model must be built WITHOUT an
     ``axis_name`` (plain BatchNorm = global-batch statistics under GSPMD,
     which IS SyncBatchNorm semantics).
+
+    ``unroll``: trace the fixation loop as straight-line code instead of
+    ``lax.scan``. Default (None) auto-selects: unrolled on CPU, scan on
+    TPU. XLA:CPU executes the conv backward inside a scan/while body ~50×
+    slower than the identical straight-line program (measured 147 s vs 3 s
+    per step, ResNet-18 B=32), which made every CPU smoke/test crawl; on
+    TPU the scan body compiles once, keeping full-model compiles in the
+    1-5 min range where a 10-fixation unroll would multiply them.
     """
+    if unroll is None:
+        unroll = jax.default_backend() == "cpu"
 
     def forward(params, batch_stats, glimpses, train):
         variables = {"params": params, "batch_stats": batch_stats}
@@ -121,7 +131,15 @@ def make_train_step(model, mesh, retina_cfg: retina.RetinaConfig,
             state = state.apply_gradients(grads=grads, batch_stats=new_bs)
             return (state, h2), loss
 
-        (state, _), losses = jax.lax.scan(fixation, (state, h1), fix_keys[1:])
+        if unroll:
+            carry, losses = (state, h1), []
+            for j in range(num_fixations):
+                carry, loss = fixation(carry, fix_keys[1 + j])
+                losses.append(loss)
+            state, losses = carry[0], jnp.stack(losses)
+        else:
+            (state, _), losses = jax.lax.scan(fixation, (state, h1),
+                                              fix_keys[1:])
         return state, {"losses": losses}
 
     return data_parallel_jit(step, mesh, batch_args=(1,),

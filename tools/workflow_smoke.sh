@@ -57,3 +57,10 @@ python coco_captions_probe.py "$CKPT" /tmp/unused --dataset synthetic \
 test -f "$WORK/caption_probe_checkpoint.msgpack"
 
 echo "WORKFLOW SMOKE: ALL FIVE DRIVERS + RESUME PATHS PASSED"
+
+if [ -z "${SKIP_CONVERGENCE:-}" ]; then
+  echo "=== [6] Convergence suite (the framework LEARNS; ~10 min) ==="
+  # -rP prints each test's final metrics (top-1s, losses, greedy reward)
+  python -m pytest tests/test_convergence.py -q -rP
+  echo "WORKFLOW SMOKE: CONVERGENCE METRICS ABOVE"
+fi
