@@ -130,6 +130,13 @@ def detr_inference_bench():
         "value": round(img_s_chip, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(img_s_chip / 8000.0, 4),
+        # label the measured configuration: this is the driver's default
+        # model at F fixations, not a fixed reference config (none exists)
+        "config": {"backbone": cfg.backbone, "fixations": fixations,
+                   "batch": global_batch, "canvas": canvas,
+                   "num_queries": cfg.num_queries,
+                   "enc_layers": cfg.enc_layers,
+                   "dec_layers": cfg.dec_layers},
     }))
     if os.environ.get("BENCH_VERBOSE"):
         print(f"# devices={n_dev} global_batch={global_batch} "
@@ -203,9 +210,24 @@ def main():
         files = _jpeg_corpus((steps + 1) * global_batch, src)
         workers = int(os.environ.get("BENCH_WORKERS", "0")) or \
             min(os.cpu_count() or 8, 32)
+        # BENCH_CACHE=<dir>: decode-once canvas cache — epoch 1 (untimed)
+        # decodes and fills the cache, the timed epoch streams raw canvases,
+        # measuring the steady-state host path with decode amortized out
+        cache_dir = os.environ.get("BENCH_CACHE") or None
+        # few-core hosts: the background producer's GIL-holding memcpys
+        # starve the H2D transfer (3-5 s vs 0.11 s per put measured) —
+        # synchronous production wins there; BENCH_PREFETCH overrides
+        prefetch = int(os.environ.get(
+            "BENCH_PREFETCH", "0" if (os.cpu_count() or 1) < 4 else "3"))
         loader = HostLoader(files, batch_size=global_batch,
                             canvas_size=canvas, num_threads=workers,
-                            prefetch=3)
+                            prefetch=prefetch, cache_dir=cache_dir)
+        if cache_dir:
+            for _ in iter(loader):     # warm epoch: decode + cache fill
+                pass
+            if os.environ.get("BENCH_VERBOSE"):
+                print(f"# warm epoch {loader.stats_line()}", file=sys.stderr)
+            loader.reset()
         it = iter(loader)
 
         def put(x):
@@ -221,6 +243,8 @@ def main():
             state, m = step(state, put(images), step_keys[i + 1])
         jax.block_until_ready(m["losses"])
         dt = perf_counter() - t0
+        if os.environ.get("BENCH_VERBOSE"):
+            print(f"# timed epoch {loader.stats_line()}", file=sys.stderr)
         metric = f"simclr_{arch.lower()}_e2e_host_images_per_sec_per_chip"
     else:
         images = jax.random.randint(rng, (global_batch, canvas, canvas, 3),
@@ -241,7 +265,7 @@ def main():
         if windows < 1:
             raise ValueError(f"BENCH_WINDOWS must be >= 1, got {windows}")
         all_keys = jax.device_get(jax.random.split(rng, windows * steps + 7))
-        dt = float("inf")
+        window_dts = []
         ki = 1
         for _ in range(windows):
             t0 = perf_counter()
@@ -249,7 +273,8 @@ def main():
                 state, m = step(state, images, all_keys[ki])
                 ki += 1
             jax.block_until_ready(m["losses"])
-            dt = min(dt, perf_counter() - t0)
+            window_dts.append(perf_counter() - t0)
+        dt = min(window_dts)
         metric = ("simclr_resnet50_aug_fwd_bwd_images_per_sec_per_chip"
                   if arch == "ResNet50" else
                   f"simclr_{arch.lower()}_aug_fwd_bwd_images_per_sec_per_chip")
@@ -258,17 +283,43 @@ def main():
     views = steps * num_fixations * global_batch
     img_s = views / dt
     img_s_chip = img_s / n_dev
-    print(json.dumps({
+    record = {
         "metric": metric,
-        "value": round(img_s_chip, 2),
+        "value": round(img_s_chip, 2),     # best window (device capability)
         "unit": "images/sec/chip",
         "vs_baseline": round(img_s_chip / 8000.0, 4),
-    }))
+    }
+    if input_mode != "host":
+        # self-honest artifact: every timing window + the median, so the
+        # best-of-N choice is auditable from the JSON alone
+        rates = sorted(views / d / n_dev for d in window_dts)
+        record["windows_img_s_chip"] = [round(r, 2) for r in rates]
+        record["median_img_s_chip"] = round(
+            rates[len(rates) // 2] if len(rates) % 2 else
+            0.5 * (rates[len(rates) // 2 - 1] + rates[len(rates) // 2]), 2)
+    print(json.dumps(record))
     if os.environ.get("BENCH_VERBOSE"):
         print(f"# devices={n_dev} global_batch={global_batch} "
               f"fixations={num_fixations} canvas={canvas} arch={arch} "
               f"steps={steps} wall={dt:.3f}s total_img/s={img_s:.1f}",
               file=sys.stderr)
+    if os.environ.get("BENCH_MFU"):
+        # analytic-FLOP MFU from the compiled step's own cost analysis
+        try:
+            compiled = step.lower(state, images, all_keys[0] if
+                                  input_mode != "host" else step_keys[0]
+                                  ).compile()
+            ca = compiled.cost_analysis()
+            ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+            flops = float(ca.get("flops", 0.0))
+            peak = float(os.environ.get("BENCH_PEAK_TFLOPS", "197")) * 1e12
+            step_s = dt / steps
+            mfu = flops / n_dev / step_s / peak
+            print(f"# MFU: {flops/1e9:.1f} GFLOP/step (XLA cost analysis), "
+                  f"{step_s*1e3:.2f} ms/step -> {mfu:.1%} of "
+                  f"{peak/1e12:.0f} TF/s peak/chip", file=sys.stderr)
+        except Exception as e:  # noqa: BLE001 — diagnostic only
+            print(f"# MFU estimate unavailable: {e}", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -87,7 +87,8 @@ def build_reader(cfg: ContrastiveConfig, split: str, shard_id: int, num_shards: 
     return HostLoader(files, labels, batch_size=bs,
                       canvas_size=cfg.canvas_size, shard_id=shard_id,
                       num_shards=num_shards, seed=cfg.seed,
-                      num_threads=cfg.workers)
+                      num_threads=cfg.workers,
+                      cache_dir=getattr(cfg, "canvas_cache", "") or None)
 
 
 def main(argv=None):
@@ -226,6 +227,8 @@ def main(argv=None):
                                      global_batch))
         loss_history.append(losses.avg)
         total_time.update(batch_time.avg)
+        if cfg.verbose and hasattr(train_reader, "stats_line"):
+            print(train_reader.stats_line())
         train_reader.reset()
 
         # ---- validate (reference validate(), :751-904) ----

@@ -71,6 +71,9 @@ class ContrastiveConfig:
     export_torch: str = _flag("--export-torch", default="",
                               help="also write a reference-layout .pth.tar "
                                    "checkpoint (torch.save) to this path")
+    canvas_cache: str = _flag("--canvas-cache", default="",
+                              help="decode-once raw-canvas cache directory "
+                                   "(epoch 1 decodes, later epochs stream)")
 
 
 @dataclass
@@ -112,6 +115,9 @@ class EvalConfig:
     export_torch: str = _flag("--export-torch", default="",
                               help="also write a reference-layout .pth.tar "
                                    "checkpoint (torch.save) to this path")
+    canvas_cache: str = _flag("--canvas-cache", default="",
+                              help="decode-once raw-canvas cache directory "
+                                   "(epoch 1 decodes, later epochs stream)")
 
 
 @dataclass
@@ -162,6 +168,9 @@ class DETRConfig:
     export_torch: str = _flag("--export-torch", default="",
                               help="also write a reference-layout .pth.tar "
                                    "checkpoint (torch.save) to this path")
+    canvas_cache: str = _flag("--canvas-cache", default="",
+                              help="decode-once raw-canvas cache directory "
+                                   "(epoch 1 decodes, later epochs stream)")
 
 
 @dataclass

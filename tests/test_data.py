@@ -225,3 +225,49 @@ def test_loader_propagates_producer_failure(tmp_path):
     with pytest.raises(RuntimeError, match="producer failed"):
         for _ in iter(loader):
             pass
+
+
+def test_canvas_cache_decode_once(tmp_path):
+    """Epoch 1 decodes and fills the cache; epoch 2 streams identical
+    batches from the cache with ZERO decodes; the cache file survives a
+    fresh loader (restart) and a changed file list invalidates it."""
+    root = _make_image_tree(tmp_path / "data", classes=2, per_class=3)
+    files, labels, _ = list_image_folder(root)
+    cache = str(tmp_path / "cache")
+    loader = HostLoader(files, labels, batch_size=3, canvas_size=32,
+                        use_native=False, cache_dir=cache)
+    ep1 = [img.copy() for img, _ in iter(loader)]
+    assert loader.stats["decoded"] == 6 and loader.stats["cache_hits"] == 0
+    assert loader.cache.complete
+    loader.reset()
+    ep2 = [img.copy() for img, _ in iter(loader)]
+    assert loader.stats["decoded"] == 0 and loader.stats["cache_hits"] == 6
+    for a, b in zip(ep1, ep2):
+        np.testing.assert_array_equal(a, b)
+    assert "0 decoded, 6 cache hits" in loader.stats_line()
+
+    # restart: a fresh loader reuses the on-disk cache
+    loader2 = HostLoader(files, labels, batch_size=3, canvas_size=32,
+                         use_native=False, cache_dir=cache)
+    assert loader2.cache.complete
+    ep3 = [img.copy() for img, _ in iter(loader2)]
+    assert loader2.stats["decoded"] == 0
+    for a, b in zip(ep1, ep3):
+        np.testing.assert_array_equal(a, b)
+
+    # different file list -> different fingerprint -> fresh (empty) cache
+    loader3 = HostLoader(files[:5], labels[:5], batch_size=5, canvas_size=32,
+                         use_native=False, cache_dir=cache)
+    assert not loader3.cache.complete and loader3.cache.hits == 0
+
+
+def test_canvas_cache_with_shuffle_covers_all(tmp_path):
+    """A shuffled first epoch still decodes every file exactly once into
+    the cache (the epoch order is a permutation plus pad repeats)."""
+    root = _make_image_tree(tmp_path / "data", classes=2, per_class=3)
+    files, labels, _ = list_image_folder(root)
+    loader = HostLoader(files, labels, batch_size=2, canvas_size=32,
+                        shuffle=True, use_native=False,
+                        cache_dir=str(tmp_path / "cache"))
+    list(iter(loader))
+    assert loader.cache.complete

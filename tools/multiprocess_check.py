@@ -36,6 +36,12 @@ def main(proc_id: int, num_procs: int, coordinator: str) -> None:
 
     if os.environ.get("JAX_PLATFORMS") == "cpu":
         jax.config.update("jax_platforms", "cpu")
+    # pod-shaped runs: N virtual CPU devices PER PROCESS, so each process
+    # feeds a strict subset of a multi-device shard (the real TPU-pod
+    # topology: e.g. 2 hosts x 4 chips -> an 8-way data mesh)
+    local_devices = int(os.environ.get("MAAI_LOCAL_DEVICES", "0"))
+    if local_devices:
+        jax.config.update("jax_num_cpu_devices", local_devices)
 
     import numpy as np
 
@@ -81,7 +87,8 @@ def main(proc_id: int, num_procs: int, coordinator: str) -> None:
     total2 = float(jax.device_get(fn(arr2)))
     assert total2 == expect, (total2, expect)
 
-    print(f"MULTIPROCESS OK proc {proc_id}/{num_procs}: global batch {gb}, "
+    print(f"MULTIPROCESS OK proc {proc_id}/{num_procs}: "
+          f"{jax.local_device_count()} local devices, global batch {gb}, "
           f"cross-process reduction {total} == {expect}", flush=True)
 
 
