@@ -28,7 +28,11 @@ from multimodal_active_ai_tpu.config import _flag, parse_into, MODEL_NAMES
 from multimodal_active_ai_tpu.data import SyntheticReader, list_coco_images
 from multimodal_active_ai_tpu.data.loader import HostLoader
 from multimodal_active_ai_tpu.models import MLP, SimCLRModule
-from multimodal_active_ai_tpu.models.text import TextEncoder, tokenize
+from multimodal_active_ai_tpu.models.text import (
+    TextEncoder,
+    Vocabulary,
+    tokenize,
+)
 from multimodal_active_ai_tpu.ops import retina
 from multimodal_active_ai_tpu.parallel.mesh import (
     DATA_AXIS,
@@ -109,9 +113,38 @@ def main(argv=None):
     sample = jnp.ones((2, 30, 30, retina_cfg.num_channels))
     enc_variables = load_pretrained_encoder(encoder, cfg, rng, sample)
 
+    # data (before the towers: the text tower is sized by the built vocab)
+    if cfg.dataset == "synthetic":
+        n = cfg.num_examples or 16 * local_batch
+        reader = SyntheticReader(local_batch, cfg.canvas_size,
+                                 num_examples=n, seed=cfg.seed)
+        captions = None
+    else:
+        files, caps = load_caption_pairs(cfg)
+        reader = HostLoader(files, list(range(len(files))),
+                            batch_size=local_batch,
+                            canvas_size=cfg.canvas_size, shuffle=True,
+                            shard_id=jax.process_index(),
+                            num_shards=jax.process_count(),
+                            seed=cfg.seed, num_threads=cfg.workers)
+        captions = caps
+
+    # corpus-built frequency vocabulary over the caption annotations (the
+    # reference prototype tokenized real caption text — notebook cell 18);
+    # synthetic runs keep the corpus-free hashing tokenizer
+    vocab = None
+    text_vocab_size = cfg.vocab_size
+    if captions is not None:
+        vocab = Vocabulary.build(captions, max_size=cfg.vocab_size,
+                                 max_len=cfg.max_len)
+        text_vocab_size = vocab.size
+        if jax.process_index() == 0:
+            print(f"caption vocabulary: {vocab.size} entries "
+                  f"(cap {cfg.vocab_size}) over {len(captions)} captions")
+
     # towers: image head (MLP on concat features -> 128), text encoder
     head = MLP(hidden_dim=1024, output_dim=128)
-    text = TextEncoder(vocab_size=cfg.vocab_size, out_dim=128)
+    text = TextEncoder(vocab_size=text_vocab_size, out_dim=128)
 
     from multimodal_active_ai_tpu.models.resnet import encoder_feature_dim
     feat_dim = encoder_feature_dim(cfg.arch) * 16 * cfg.num_fixations
@@ -130,30 +163,13 @@ def main(argv=None):
         cfg.temperature)
     batch_sharding = NamedSharding(mesh, P(DATA_AXIS))
 
-    # data
-    if cfg.dataset == "synthetic":
-        n = cfg.num_examples or 16 * local_batch
-        reader = SyntheticReader(local_batch, cfg.canvas_size,
-                                 num_examples=n, seed=cfg.seed)
-        captions = None
-    else:
-        files, caps = load_caption_pairs(cfg)
-        reader = HostLoader(files, list(range(len(files))),
-                            batch_size=local_batch,
-                            canvas_size=cfg.canvas_size, shuffle=True,
-                            shard_id=jax.process_index(),
-                            num_shards=jax.process_count(),
-                            seed=cfg.seed, num_threads=cfg.workers)
-        captions = caps
-
     def tokens_for(labels):
         if captions is None:  # synthetic: templated caption per label
             texts = [f"a synthetic picture of class {int(l)}" for l in labels]
-        else:
-            texts = [captions[int(l)] for l in labels]
-        ids = np.asarray([tokenize(t, cfg.vocab_size, cfg.max_len)[0]
-                          for t in texts], np.int32)
-        return ids
+            return np.asarray([tokenize(t, cfg.vocab_size, cfg.max_len)[0]
+                               for t in texts], np.int32)
+        return np.asarray([vocab.encode(captions[int(l)])[0]
+                           for l in labels], np.int32)
 
     def put(x):
         return make_global_array(x, batch_sharding) \
@@ -195,6 +211,8 @@ def main(argv=None):
                   f"##I2T Top-5 {meters['i2t_top5'].avg}\n"
                   f"##T2I Top-1 {meters['t2i_top1'].avg}\n"
                   f"##T2I Top-5 {meters['t2i_top5'].avg}")
+            if vocab is not None:
+                print(f"##Vocab {vocab.size} OOV-rate {vocab.oov_rate:.4f}")
             ckpt.save_checkpoint({
                 "epoch": epoch + 1,
                 "state_dict": jax.device_get(state.params),

@@ -40,6 +40,80 @@ _RESERVED = 3
 _WORD_RE = re.compile(r"[a-z0-9']+")
 
 
+class Vocabulary:
+    """Corpus-built frequency vocabulary (word → id) with an OOV bucket.
+
+    The reference prototype tokenized the actual caption corpus
+    (``COCO Captions Test-checkpoint.ipynb`` cell 18 builds its dataset from
+    the annotation text); this is the production equivalent: ids are
+    assigned by descending corpus frequency at startup, unknown words fall
+    into a dedicated OOV bucket (id 3), and the encoder tracks the OOV rate
+    so retrieval numbers come with a coverage figure. The hashing-trick
+    :func:`tokenize` stays as the corpus-free fallback (synthetic data).
+    """
+
+    OOV_ID = 3
+    _BASE = 4       # PAD/BOS/EOS/OOV reserved below
+
+    def __init__(self, words: list[str], max_len: int = 32):
+        self.words = list(words)
+        self.word_to_id = {w: i + self._BASE for i, w in enumerate(self.words)}
+        self.max_len = max_len
+        self.oov_words = 0
+        self.total_words = 0
+
+    @property
+    def size(self) -> int:
+        return self._BASE + len(self.words)
+
+    @property
+    def oov_rate(self) -> float:
+        return self.oov_words / self.total_words if self.total_words else 0.0
+
+    @classmethod
+    def build(cls, texts, max_size: int = 32768, min_freq: int = 1,
+              max_len: int = 32) -> "Vocabulary":
+        """Frequency vocabulary over lowercase word tokens; ties broken by
+        first appearance (deterministic across hosts for a shared corpus)."""
+        from collections import Counter
+
+        counts = Counter()
+        for t in texts:
+            counts.update(_WORD_RE.findall(t.lower()))
+        words = [w for w, n in counts.most_common() if n >= min_freq]
+        return cls(words[: max_size - cls._BASE], max_len)
+
+    def encode(self, text: str):
+        """(ids, mask) padded to ``max_len``; same shape contract as
+        :func:`tokenize` so the two are drop-in interchangeable."""
+        words = _WORD_RE.findall(text.lower())[: self.max_len - 2]
+        ids = [BOS_ID]
+        for w in words:
+            i = self.word_to_id.get(w)
+            if i is None:
+                self.oov_words += 1
+                i = self.OOV_ID
+            ids.append(i)
+        self.total_words += len(words)
+        ids.append(EOS_ID)
+        mask = [1] * len(ids)
+        while len(ids) < self.max_len:
+            ids.append(PAD_ID)
+            mask.append(0)
+        return ids, mask
+
+    def decode(self, ids) -> str:
+        """Inverse map (specials skipped, OOV rendered as ``<unk>``)."""
+        out = []
+        for i in ids:
+            i = int(i)
+            if i in (PAD_ID, BOS_ID, EOS_ID):
+                continue
+            out.append("<unk>" if i == self.OOV_ID
+                       else self.words[i - self._BASE])
+        return " ".join(out)
+
+
 def tokenize(text: str, vocab_size: int = 32768, max_len: int = 32):
     """Hashing-trick tokenizer: lowercase word tokens → stable bucket ids.
 

@@ -100,3 +100,59 @@ def test_caption_probe_train_step_runs(rng):
     tokens = jax.random.randint(rng, (4, 8), 3, 128, dtype=jnp.int32)
     state, m = step(state, enc_vars, images, tokens, rng)
     assert np.isfinite(float(m["loss"]))
+
+
+def test_vocabulary_build_and_roundtrip():
+    from multimodal_active_ai_tpu.models.text import (
+        BOS_ID, EOS_ID, PAD_ID, Vocabulary,
+    )
+
+    texts = ["a dog runs", "a dog sits", "a cat sits on a mat"]
+    vocab = Vocabulary.build(texts, max_size=64, max_len=8)
+    # frequency order: 'a' (4x) first, then 'dog'/'sits' (2x) by appearance
+    assert vocab.words[0] == "a"
+    assert set(vocab.words) == {"a", "dog", "runs", "sits", "cat", "on", "mat"}
+    assert vocab.size == 4 + 7
+
+    ids, mask = vocab.encode("a dog sits")
+    assert ids[0] == BOS_ID and ids[4] == EOS_ID
+    assert mask == [1, 1, 1, 1, 1, 0, 0, 0]
+    assert ids[5:] == [PAD_ID] * 3
+    # distinct known words get distinct stable ids; round-trips
+    assert len(set(ids[1:4])) == 3
+    assert vocab.decode(ids) == "a dog sits"
+    # same word -> same id across calls
+    ids2, _ = vocab.encode("dog dog")
+    assert ids2[1] == ids2[2] == ids[2]
+
+
+def test_vocabulary_oov_and_size_cap():
+    from multimodal_active_ai_tpu.models.text import Vocabulary
+
+    vocab = Vocabulary.build(["alpha beta gamma delta"], max_size=6, max_len=8)
+    assert vocab.size <= 6  # cap includes the 4 reserved ids -> 2 words kept
+    assert len(vocab.words) == 2
+    ids, _ = vocab.encode("alpha beta gamma zeta")
+    assert ids[1] != Vocabulary.OOV_ID and ids[2] != Vocabulary.OOV_ID
+    assert ids[3] == ids[4] == Vocabulary.OOV_ID   # gamma dropped by cap, zeta unseen
+    assert vocab.oov_words == 2 and vocab.total_words == 4
+    assert vocab.oov_rate == 0.5
+    assert vocab.decode(ids) == "alpha beta <unk> <unk>"
+
+
+def test_vocabulary_encoder_compatible(rng):
+    """Vocabulary.encode feeds TextEncoder exactly like tokenize does."""
+    import numpy as np
+
+    from multimodal_active_ai_tpu.models.text import TextEncoder, Vocabulary
+
+    vocab = Vocabulary.build(["the quick brown fox", "the lazy dog"],
+                             max_size=32, max_len=8)
+    enc = TextEncoder(vocab_size=vocab.size, d_model=32, nhead=2,
+                      num_layers=1, dim_feedforward=64, out_dim=16)
+    ids = np.asarray([vocab.encode("the quick dog")[0],
+                      vocab.encode("a fox")[0]], np.int32)
+    variables = enc.init(rng, jnp.asarray(ids))
+    out = enc.apply(variables, jnp.asarray(ids))
+    assert out.shape == (2, 16)
+    assert np.isfinite(np.asarray(out)).all()
