@@ -185,8 +185,19 @@ def main():
     rng = jax.random.PRNGKey(0)
     sample = jnp.ones((2, cfg.glimpse_size, cfg.glimpse_size, cfg.num_channels))
     state = simclr_train.create_train_state(model, tx, rng, sample)
+    # BENCH_UNROLL: fixation-loop strategy — "full" = straight-line Python
+    # loop (kills the ~15 ms/step of scan carry copies; 8,695 vs 8,500
+    # img/s/chip measured), an int n = lax.scan(unroll=n), "scan" = plain
+    # scan. TPU default is unroll=5 (best measured: 8,767 best / 8,619
+    # median vs 8,500/8,479 plain scan; compile is longer but one-time).
+    unroll_env = os.environ.get("BENCH_UNROLL",
+                                "5" if on_tpu else "")
+    unroll = (None if not unroll_env or unroll_env == "scan" else
+              True if unroll_env in ("full", "true") else int(unroll_env))
+    if unroll_env == "scan":
+        unroll = False
     step = simclr_train.make_train_step(model, mesh, cfg, num_fixations, 0.05,
-                                        donate=donate)
+                                        donate=donate, unroll=unroll)
 
     input_mode = os.environ.get("BENCH_INPUT", "device")
     for a in sys.argv[1:]:

@@ -142,8 +142,12 @@ def main(argv=None):
                        retina_cfg.num_channels))
     state = simclr_train.create_train_state(model, tx, rng, sample)
 
+    unroll = (None if cfg.unroll_fixations == 0
+              else True if cfg.unroll_fixations < 0
+              else cfg.unroll_fixations)
     train_step = simclr_train.make_train_step(
-        model, mesh, retina_cfg, cfg.num_fixations, cfg.temperature)
+        model, mesh, retina_cfg, cfg.num_fixations, cfg.temperature,
+        unroll=unroll)
     eval_step = simclr_train.make_eval_step(model, mesh, retina_cfg, cfg.temperature)
     batch_sharding = NamedSharding(mesh, P(DATA_AXIS))
 

@@ -73,13 +73,19 @@ def make_train_step(model, mesh, retina_cfg: retina.RetinaConfig,
     ``axis_name`` (plain BatchNorm = global-batch statistics under GSPMD,
     which IS SyncBatchNorm semantics).
 
-    ``unroll``: trace the fixation loop as straight-line code instead of
-    ``lax.scan``. Default (None) auto-selects: unrolled on CPU, scan on
-    TPU. XLA:CPU executes the conv backward inside a scan/while body ~50×
-    slower than the identical straight-line program (measured 147 s vs 3 s
-    per step, ResNet-18 B=32), which made every CPU smoke/test crawl; on
-    TPU the scan body compiles once, keeping full-model compiles in the
-    1-5 min range where a 10-fixation unroll would multiply them.
+    ``unroll``: fixation-loop tracing strategy.
+      * ``True`` — straight-line Python loop (no scan primitive). Fastest
+        execution: on CPU, XLA executes the conv backward inside a
+        scan/while body ~50× slower than the identical straight-line
+        program (147 s vs 3 s per step, ResNet-18 B=32); on TPU it removes
+        the per-iteration carry copies of every parameter/optimizer leaf
+        (profiled at ~15 ms/step = 10%) and benched 8,695 vs 8,500
+        img/s/chip — but full-model compiles grow ~2.5× (≈13 min).
+      * an ``int`` — ``lax.scan(..., unroll=n)``: copies amortized n×,
+        compile growth bounded (unavailable relief on CPU, where the scan
+        primitive itself carries the pathology).
+      * ``False`` — plain ``lax.scan``.
+      * ``None`` (default) — auto: Python loop on CPU, plain scan on TPU.
     """
     if unroll is None:
         unroll = jax.default_backend() == "cpu"
@@ -131,15 +137,16 @@ def make_train_step(model, mesh, retina_cfg: retina.RetinaConfig,
             state = state.apply_gradients(grads=grads, batch_stats=new_bs)
             return (state, h2), loss
 
-        if unroll:
+        if unroll is True:
             carry, losses = (state, h1), []
             for j in range(num_fixations):
                 carry, loss = fixation(carry, fix_keys[1 + j])
                 losses.append(loss)
             state, losses = carry[0], jnp.stack(losses)
         else:
-            (state, _), losses = jax.lax.scan(fixation, (state, h1),
-                                              fix_keys[1:])
+            (state, _), losses = jax.lax.scan(
+                fixation, (state, h1), fix_keys[1:],
+                unroll=int(unroll) if unroll else 1)
         return state, {"losses": losses}
 
     return data_parallel_jit(step, mesh, batch_args=(1,),
