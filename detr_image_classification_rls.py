@@ -34,6 +34,7 @@ from multimodal_active_ai_tpu.parallel.mesh import (
     create_hybrid_mesh,
     create_mesh,
     initialize_distributed,
+    local_batch_rows,
     make_global_array,
     per_process_batch,
 )
@@ -102,7 +103,16 @@ def main(argv=None):
         model, criterion, dqn, mesh, retina_cfg, cfg.num_fixations,
         cfg.num_of_actions, cfg.eps_start, cfg.eps_end, cfg.eps_decay)
     dqn_update = rls_train.make_dqn_update_step(
-        dqn, cfg.num_of_actions, cfg.gamma)
+        dqn, cfg.num_of_actions, cfg.gamma, mesh)
+    # -dqnb is the GLOBAL Bellman batch: each process samples its share
+    # from its own replay memory; GSPMD averages the gradient so policy
+    # nets stay identical across processes (unlike the reference's
+    # silently-diverging unwrapped-DDP DQNs, RLS :429-442)
+    if cfg.dqn_batch_size % jax.process_count() != 0:
+        raise ValueError(
+            f"-dqnb {cfg.dqn_batch_size} not divisible by "
+            f"{jax.process_count()} processes")
+    dqn_local_batch = cfg.dqn_batch_size // jax.process_count()
     eval_step = detr_train.make_detr_eval_step(
         model, criterion, mesh, retina_cfg, cfg.num_fixations)
     batch_sharding = NamedSharding(mesh, P(DATA_AXIS))
@@ -160,22 +170,28 @@ def main(argv=None):
                 step_keys[i], epoch_dev)
 
             # host-side replay push: transitions (g_{j-1}, a_j, g_j, r)
-            # per sample per fixation j>=1 (RLS :751-769)
-            glimpses = np.asarray(jax.device_get(rollout.glimpses))
-            saccades = np.asarray(jax.device_get(rollout.saccades))
-            mask = np.asarray(jax.device_get(rollout.mask))
-            rew = np.asarray(jax.device_get(reward))
+            # per sample per fixation j>=1 (RLS :751-769). Each process
+            # keeps ITS shard's rows (the per-rank replay of the reference)
+            glimpses = local_batch_rows(rollout.glimpses)
+            saccades = local_batch_rows(rollout.saccades)
+            mask = local_batch_rows(rollout.mask)
+            rew = local_batch_rows(reward)
             for j in range(1, glimpses.shape[1]):
                 valid = ~mask[:, j]
                 if valid.any():
                     memory.push(glimpses[valid, j - 1], saccades[valid, j],
                                 glimpses[valid, j], rew[valid])
 
-            # 70%-probability DQN optimization per batch (RLS :776-788)
-            if len(memory) >= cfg.dqn_batch_size and host_rng.uniform() < 0.7:
-                tr = memory.sample(cfg.dqn_batch_size)
-                policy_state, dqn_loss = dqn_update(policy_state, target_vars,
-                                                    tr)
+            # 70%-probability DQN optimization per batch (RLS :776-788);
+            # the shared-seed host_rng replaces the reference's rank-0 MPI
+            # bcast of the coin, and replay sizes march in lockstep (same
+            # per-step push counts), so every process takes the same branch
+            if len(memory) >= dqn_local_batch and host_rng.uniform() < 0.7:
+                tr = memory.sample(dqn_local_batch)
+                policy_state, dqn_loss = dqn_update(
+                    policy_state, target_vars,
+                    (put(tr.state), put(tr.action),
+                     put(tr.next_state), put(tr.reward)))
                 dqn_losses.update(float(jax.device_get(dqn_loss)))
 
             if cfg.test and i > 10:

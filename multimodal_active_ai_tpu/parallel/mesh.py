@@ -110,6 +110,23 @@ def make_global_array(x, sharding: NamedSharding):
     return jax.make_array_from_process_local_data(sharding, x)
 
 
+def local_batch_rows(x) -> np.ndarray:
+    """Host copy of THIS PROCESS's rows of a batch-sharded global array.
+
+    The inverse of :func:`make_global_array` for batch-leading outputs a
+    multi-host program returns sharded (e.g. the RLS rollout buffers that
+    feed the host replay memory): single-process runs get the full array;
+    multi-process runs get the addressable shards concatenated in batch
+    order — each process keeps its own transitions, like the reference's
+    per-rank replay pushes (``DETR_Image_Classification_RLS.py:751-769``).
+    """
+    if jax.process_count() == 1 or not hasattr(x, "addressable_shards"):
+        return np.asarray(jax.device_get(x))
+    shards = sorted(x.addressable_shards,
+                    key=lambda s: s.index[0].start or 0)
+    return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
+
+
 def per_process_batch(per_shard_batch: int, mesh: Mesh) -> tuple[int, int]:
     """(global_batch, per-process batch) from the per-data-shard ``-b``.
 

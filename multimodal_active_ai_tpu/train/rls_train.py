@@ -134,12 +134,21 @@ def make_rls_train_step(model, criterion, dqn_model, mesh,
                              num_outputs=4, batch_outputs=(2, 3))
 
 
-def make_dqn_update_step(dqn_model, num_of_actions: int, gamma: float):
+def make_dqn_update_step(dqn_model, num_of_actions: int, gamma: float,
+                         mesh=None):
     """``optimize_foveator`` equivalent (``DQN/Training.py:86-140``): Bellman
     Huber loss on a replay sample, gradients clamped to ±1 elementwise (the
     reference's ``param.grad.data.clamp_(-1, 1)``), RMSprop step applied by
-    the caller's optimizer. Replay batches are host-sampled, so this is a
-    plain single-program jit (the DQN is replicated).
+    the caller's optimizer.
+
+    With a ``mesh``, the replay batch is sharded over the data axis and the
+    gradient is averaged by GSPMD — on multi-host runs each process samples
+    its share of the global Bellman batch from its OWN replay memory and
+    the policy nets stay bit-identical across processes. (The reference's
+    ranks silently diverge here: its DQN is DDP-wrapped then immediately
+    unwrapped, ``DETR_Image_Classification_RLS.py:429-442``, so per-rank
+    replay differences de-synchronize the policies — the corrected-DP
+    stance documented in SURVEY §2.4 applies to the DQN too.)
 
     The policy net runs in train mode so its BatchNorm statistics update
     with every Bellman step (the reference trains its DQN trunk with live
@@ -172,7 +181,7 @@ def make_dqn_update_step(dqn_model, num_of_actions: int, gamma: float):
     # no donation: right after a target sync, ``target_variables`` aliases
     # the policy params — donating the state would free buffers the same
     # call still reads (`f(donate(a), a)`)
-    return jax.jit(step)
+    return data_parallel_jit(step, mesh, batch_args=(2,), num_outputs=2)
 
 
 def sync_target(policy_state: TrainState):
