@@ -226,3 +226,76 @@ def test_dqn_greedy_policy_beats_random():
                                      "batch_stats": pstate.batch_stats})
     print(f"DQN greedy expected reward {greedy:.3f} vs random {random_reward}")
     assert greedy >= 2.0 * random_reward, (greedy, random_reward)
+
+
+def test_caption_probe_learns_retrieval():
+    """Multimodal probe (the fifth driver path): frozen encoder + trainable
+    image head & text tower, symmetric InfoNCE over 16 distinct
+    (image, caption) pairs built through the corpus Vocabulary — retrieval
+    top-1 reaches 1.0 in both directions (chance 1/16; tuned: 1.0/1.0 @ 200
+    steps). The encoder's BN running stats are first calibrated with a few
+    train-mode passes — with the init stats (mean 0 / var 1 against 0-255
+    inputs) every image collapses to nearly the same embedding and InfoNCE
+    plateaus at the uniform loss, which is what a real pretrained encoder
+    never exhibits."""
+    from multimodal_active_ai_tpu.models import MLP, SimCLRModule
+    from multimodal_active_ai_tpu.models.text import TextEncoder, Vocabulary
+    from multimodal_active_ai_tpu.train import caption_probe, optimizers, simclr_train
+
+    cfg = retina.RetinaConfig(**GLIMPSE_CFG)
+    rng = jax.random.PRNGKey(0)
+    n = 16
+    enc = SimCLRModule(arch="ResNet18", axis_name=None, norm_kind="bn")
+    ev0 = enc.init(rng, jnp.ones((2, 30, 30, 12)), train=False)
+    images = jnp.asarray(structured_images(n)[0])
+
+    # calibrate BN running stats on real glimpses before freezing
+    stats = ev0["batch_stats"]
+    for i in range(5):
+        k = jax.random.fold_in(rng, 100 + i)
+        p = retina.sample_labeled_params(k, n, images.shape[1])
+        g = retina.apply_retina(images, p, k, cfg, photometric=False)
+        _, mut = enc.apply({"params": ev0["params"], "batch_stats": stats},
+                           g, train=True, mutable=["batch_stats"])
+        stats = mut["batch_stats"]
+    enc_vars = {"params": ev0["params"], "batch_stats": stats}
+
+    colors = ("red", "green", "blue", "yellow", "pink", "teal", "olive",
+              "navy", "coral", "plum", "gold", "gray", "lime", "cyan",
+              "rust", "jade")
+    captions = [f"a {colors[i]} grating pattern number {i}" for i in range(n)]
+    vocab = Vocabulary.build(captions, max_size=128, max_len=12)
+    tokens = jnp.asarray([vocab.encode(c)[0] for c in captions], jnp.int32)
+
+    head = MLP(hidden_dim=256, output_dim=64)
+    text = TextEncoder(vocab_size=vocab.size, d_model=64, nhead=2,
+                       num_layers=1, dim_feedforward=128, out_dim=64,
+                       dropout=0.0)
+    hv = head.init(rng, jnp.ones((2, 512 * 16)))
+    tv = text.init(rng, tokens[:2])
+    params = {"image_head": hv["params"], "text": tv["params"]}
+    tx = optimizers.get_optimizer("adam", lambda t: 3e-3)
+    state = simclr_train.TrainState.create(apply_fn=None, params=params,
+                                           tx=tx, batch_stats={})
+    tstep = caption_probe.make_caption_probe_train_step(
+        enc, head, text, None, cfg, 1, temperature=0.5)
+    estep = caption_probe.make_caption_probe_eval_step(
+        enc, head, text, None, cfg, 1, temperature=0.5)
+
+    steps = 200
+    keys = jax.device_get(jax.random.split(rng, steps + 8))
+    first_loss = None
+    for i in range(steps):
+        state, m = tstep(state, enc_vars, images, tokens, keys[i])
+        if first_loss is None:
+            first_loss = float(jax.device_get(m["loss"]))
+    final_loss = float(jax.device_get(m["loss"]))
+    m = {k: float(np.mean([jax.device_get(
+        estep(state, enc_vars, images, tokens, keys[steps + 1 + j])[k])
+        for j in range(3)])) for k in ("i2t_top1", "t2i_top1")}
+    print(f"caption probe: loss {first_loss:.2f} -> {final_loss:.2f}, "
+          f"i2t {m['i2t_top1']:.3f}, t2i {m['t2i_top1']:.3f} "
+          f"(chance {1 / n:.3f})")
+    assert m["i2t_top1"] >= 0.5, m
+    assert m["t2i_top1"] >= 0.5, m
+    assert final_loss <= first_loss - 1.5
