@@ -299,3 +299,60 @@ def test_caption_probe_learns_retrieval():
     assert m["i2t_top1"] >= 0.5, m
     assert m["t2i_top1"] >= 0.5, m
     assert final_loss <= first_loss - 1.5
+
+
+def test_glimpse_captioner_memorizes_captions():
+    """Reinforced-Transformer prototype path (component #28): the causal
+    caption decoder over glimpse memory overfits 4 (glimpse-sequence,
+    caption) pairs — teacher-forcing CE collapses and the argmax at every
+    non-pad position reproduces the memorized caption."""
+    import optax
+
+    from multimodal_active_ai_tpu.models.text import (
+        PAD_ID, GlimpseCaptioner, Vocabulary,
+    )
+
+    captions = ["a red block on the left", "the dog chases a ball",
+                "two birds over blue water", "a train arrives at night"]
+    vocab = Vocabulary.build(captions, max_size=64, max_len=10)
+    tokens = jnp.asarray([vocab.encode(c)[0] for c in captions], jnp.int32)
+
+    rng = jax.random.PRNGKey(0)
+    feats = jax.random.normal(rng, (4, 3, 32))      # distinct glimpse memory
+    model = GlimpseCaptioner(vocab_size=vocab.size, d_model=64, nhead=2,
+                             num_layers=1, dim_feedforward=128, dropout=0.0)
+    variables = model.init(rng, feats, tokens[:, :-1])
+
+    inputs, targets = tokens[:, :-1], tokens[:, 1:]
+    keep = (targets != PAD_ID).astype(jnp.float32)
+
+    def loss_fn(params):
+        logits = model.apply({"params": params}, feats, inputs)
+        lp = jax.nn.log_softmax(logits, axis=-1)
+        nll = -jnp.take_along_axis(lp, targets[..., None], axis=-1)[..., 0]
+        return jnp.sum(nll * keep) / jnp.sum(keep)
+
+    tx = optax.adam(3e-3)
+    params = variables["params"]
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(p, o):
+        loss, grads = jax.value_and_grad(loss_fn)(p)
+        updates, o = tx.update(grads, o, p)
+        return loss, optax.apply_updates(p, updates), o
+
+    first = None
+    for _ in range(150):
+        loss, params, opt_state = step(params, opt_state)
+        if first is None:
+            first = float(loss)
+    final = float(loss)
+
+    logits = model.apply({"params": params}, feats, inputs)
+    pred = jnp.argmax(logits, axis=-1)
+    match = float(jnp.sum((pred == targets) * keep) / jnp.sum(keep))
+    print(f"captioner: CE {first:.2f} -> {final:.4f}, "
+          f"teacher-forced token match {match:.3f}")
+    assert final < 0.2, (first, final)
+    assert match >= 0.95, match
