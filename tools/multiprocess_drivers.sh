@@ -1,11 +1,11 @@
 #!/usr/bin/env bash
-# Drive SimCLR, the linear probe, and the RLS driver each as a REAL
-# 2-process JAX job (Gloo CPU collectives): bootstrap via
-# initialize_distributed, per-process reader shards feeding
+# Drive ALL FIVE drivers (SimCLR, linear probe, DETR classifier, RLS,
+# captions probe) each as a REAL 2-process JAX job (Gloo CPU collectives):
+# bootstrap via initialize_distributed, per-process reader shards feeding
 # make_global_array, cross-process gradient reduction — the full multi-host
 # contract through the production CLIs (round-2 verdict weak #5: only the
 # SimCLR driver had been driven multi-process).
-# ~25 min on one CPU core (each driver compiles in both processes).
+# ~45 min on one CPU core (each driver compiles in both processes).
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
@@ -50,9 +50,21 @@ run2 probe -- python representation_evaluation.py "$CKPT" /tmp/unused \
   "${COMMON[@]}" --arch ResNet18 -f 2 --epochs 1 -t --checkpoint-dir "$WORK"
 test -f "$WORK/classifier_checkpoint.msgpack"
 
+# separate dir: RLS writes same-named detr checkpoints
+mkdir -p "$WORK/detr_dir"
+run2 detr -- python detr_image_classification.py "$CKPT" /tmp/unused \
+  "${COMMON[@]}" "${DETR_DIMS[@]}" -f 2 --epochs 1 -t \
+  --checkpoint-dir "$WORK/detr_dir"
+test -f "$WORK/detr_dir/detr_classifier_checkpoint.msgpack"
+
 run2 rls -- python detr_image_classification_rls.py "$CKPT" /tmp/unused \
   "${COMMON[@]}" "${DETR_DIMS[@]}" -f 3 --epochs 1 -t -dqnb 8 \
   --checkpoint-dir "$WORK"
 test -f "$WORK/dqn_checkpoint.msgpack"
 
-echo "MULTIPROCESS DRIVERS: SIMCLR + PROBE + RLS ALL PASSED AS 2-PROCESS JOBS"
+run2 captions -- python coco_captions_probe.py "$CKPT" /tmp/unused \
+  --dataset synthetic --canvas-size 64 -b 4 --num-examples 16 \
+  --arch ResNet18 -f 2 --epochs 1 -t --checkpoint-dir "$WORK"
+test -f "$WORK/caption_probe_checkpoint.msgpack"
+
+echo "MULTIPROCESS DRIVERS: ALL FIVE DRIVERS PASSED AS 2-PROCESS JOBS"
