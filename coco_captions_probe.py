@@ -172,8 +172,10 @@ def main(argv=None):
                            for l in labels], np.int32)
 
     def put(x):
-        return make_global_array(x, batch_sharding) \
-            if isinstance(x, np.ndarray) else x
+        # make_global_array handles device arrays too: passthrough on one
+        # process, host-pull + assembly on many (a process-local device
+        # array fed straight to a global-mesh jit is a shape error)
+        return make_global_array(x, batch_sharding)
 
     for epoch in range(cfg.epochs):
         meters = {k: AverageMeter() for k in
