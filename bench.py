@@ -65,6 +65,23 @@ def _jpeg_corpus(n_images: int, src: int, tmp_root: str = "/tmp") -> list[str]:
     return paths
 
 
+def _num_windows(default: int = 3) -> int:
+    windows = int(os.environ.get("BENCH_WINDOWS", str(default)))
+    if windows < 1:
+        raise ValueError(f"BENCH_WINDOWS must be >= 1, got {windows}")
+    return windows
+
+
+def _window_rates(window_dts, units: float, n_dev: int):
+    """(sorted per-chip rates, median) from per-window wall times —
+    the self-honest artifact fields shared by both bench modes."""
+    rates = sorted(units / d / n_dev for d in window_dts)
+    k = len(rates)
+    median = rates[k // 2] if k % 2 else 0.5 * (rates[k // 2 - 1]
+                                               + rates[k // 2])
+    return rates, median
+
+
 def detr_inference_bench():
     """DETR classifier inference throughput (BASELINE.md target #3: measured
     & reported — the reference publishes no number). Full eval path per
@@ -116,7 +133,7 @@ def detr_inference_bench():
         sh = NamedSharding(mesh, P(DATA_AXIS))
         images = jax.device_put(images, sh)
         labels = jax.device_put(labels, sh)
-    windows = int(os.environ.get("BENCH_WINDOWS", "3"))
+    windows = _num_windows()
     keys = jax.device_get(jax.random.split(rng, windows * steps + 1))
     m = step(state, images, labels, keys[0])
     jax.block_until_ready(m["loss_ce"])
@@ -130,7 +147,7 @@ def detr_inference_bench():
         jax.block_until_ready(m["loss_ce"])
         window_dts.append(perf_counter() - t0)
     dt = min(window_dts)
-    rates = sorted(steps * global_batch / d / n_dev for d in window_dts)
+    rates, median = _window_rates(window_dts, steps * global_batch, n_dev)
     img_s_chip = rates[-1]
     print(json.dumps({
         "metric": "detr_classifier_inference_images_per_sec_per_chip",
@@ -138,9 +155,7 @@ def detr_inference_bench():
         "unit": "images/sec/chip",
         "vs_baseline": round(img_s_chip / 8000.0, 4),
         "windows_img_s_chip": [round(r, 2) for r in rates],
-        "median_img_s_chip": round(
-            rates[len(rates) // 2] if len(rates) % 2 else
-            0.5 * (rates[len(rates) // 2 - 1] + rates[len(rates) // 2]), 2),
+        "median_img_s_chip": round(median, 2),
         # label the measured configuration: this is the driver's default
         # model at F fixations, not a fixed reference config (none exists)
         "config": {"backbone": cfg.backbone, "fixations": fixations,
@@ -283,9 +298,7 @@ def main():
         # code); the fastest window measures the device's capability while
         # a single window can catch a stall (keys still vary per step —
         # never time constant args, the backend dedupes)
-        windows = int(os.environ.get("BENCH_WINDOWS", "3"))
-        if windows < 1:
-            raise ValueError(f"BENCH_WINDOWS must be >= 1, got {windows}")
+        windows = _num_windows()
         all_keys = jax.device_get(jax.random.split(rng, windows * steps + 7))
         window_dts = []
         ki = 1
@@ -314,11 +327,9 @@ def main():
     if input_mode != "host":
         # self-honest artifact: every timing window + the median, so the
         # best-of-N choice is auditable from the JSON alone
-        rates = sorted(views / d / n_dev for d in window_dts)
+        rates, median = _window_rates(window_dts, views, n_dev)
         record["windows_img_s_chip"] = [round(r, 2) for r in rates]
-        record["median_img_s_chip"] = round(
-            rates[len(rates) // 2] if len(rates) % 2 else
-            0.5 * (rates[len(rates) // 2 - 1] + rates[len(rates) // 2]), 2)
+        record["median_img_s_chip"] = round(median, 2)
     print(json.dumps(record))
     if os.environ.get("BENCH_VERBOSE"):
         print(f"# devices={n_dev} global_batch={global_batch} "

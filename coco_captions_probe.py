@@ -116,8 +116,12 @@ def main(argv=None):
     # data (before the towers: the text tower is sized by the built vocab)
     if cfg.dataset == "synthetic":
         n = cfg.num_examples or 16 * local_batch
+        # decorrelate shards: each process must contribute DISTINCT rows of
+        # the global batch (duplicate (image, caption) pairs corrupt the
+        # InfoNCE positives), same scheme as contrastive_learning.build_reader
         reader = SyntheticReader(local_batch, cfg.canvas_size,
-                                 num_examples=n, seed=cfg.seed)
+                                 num_examples=n,
+                                 seed=cfg.seed + 7919 * jax.process_index())
         captions = None
     else:
         files, caps = load_caption_pairs(cfg)
@@ -226,6 +230,13 @@ def main(argv=None):
         if cfg.test:
             break
     return state
+
+
+def cli() -> int:
+    """Console entry point (pyproject [project.scripts]): discard main's
+    returned train state so the process exits 0 on success."""
+    main()
+    return 0
 
 
 if __name__ == "__main__":

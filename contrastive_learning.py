@@ -291,5 +291,12 @@ def main(argv=None):
     return state
 
 
+def cli() -> int:
+    """Console entry point (pyproject [project.scripts]): discard main's
+    returned train state so the process exits 0 on success."""
+    main()
+    return 0
+
+
 if __name__ == "__main__":
     main()

@@ -108,10 +108,13 @@ def main(argv=None):
     # from its own replay memory; GSPMD averages the gradient so policy
     # nets stay identical across processes (unlike the reference's
     # silently-diverging unwrapped-DDP DQNs, RLS :429-442)
-    if cfg.dqn_batch_size % jax.process_count() != 0:
+    n_data = mesh.shape[DATA_AXIS]
+    if cfg.dqn_batch_size % jax.process_count() != 0 or \
+            cfg.dqn_batch_size % n_data != 0:
         raise ValueError(
-            f"-dqnb {cfg.dqn_batch_size} not divisible by "
-            f"{jax.process_count()} processes")
+            f"-dqnb {cfg.dqn_batch_size} must divide by both "
+            f"{jax.process_count()} processes and the {n_data}-way data "
+            f"axis it is sharded over")
     dqn_local_batch = cfg.dqn_batch_size // jax.process_count()
     eval_step = detr_train.make_detr_eval_step(
         model, criterion, mesh, retina_cfg, cfg.num_fixations)
@@ -250,6 +253,13 @@ def main(argv=None):
         if cfg.test:
             break
     return state, policy_state
+
+
+def cli() -> int:
+    """Console entry point (pyproject [project.scripts]): discard main's
+    returned train state so the process exits 0 on success."""
+    main()
+    return 0
 
 
 if __name__ == "__main__":

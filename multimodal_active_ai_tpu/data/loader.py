@@ -64,17 +64,24 @@ class CanvasCache:
             with open(self.meta_path) as f:
                 if json.load(f) != meta:  # stale: different dataset/layout
                     os.remove(self.meta_path)
-        if not os.path.isfile(self.meta_path):
+        # reuse only when BOTH files survive intact; a partial pair (killed
+        # mid-create, or the big .u8 deleted to reclaim space while stale
+        # all-ones .flags remain) must rebuild from scratch — opening
+        # mismatched halves would either crash or serve zeroed canvases
+        # flagged as valid
+        reuse = (os.path.isfile(self.meta_path)
+                 and os.path.isfile(self.data_path)
+                 and os.path.isfile(self.flag_path))
+        if not reuse:
             for p in (self.data_path, self.flag_path):
                 if os.path.isfile(p):
                     os.remove(p)
             with open(self.meta_path, "w") as f:
                 json.dump(meta, f)
-        mode = "r+" if os.path.isfile(self.data_path) else "w+"
+        mode = "r+" if reuse else "w+"
         self._data = np.memmap(self.data_path, np.uint8, mode,
                                shape=(self.n, canvas, canvas, 3))
-        self._flags = np.memmap(self.flag_path, np.uint8,
-                                "r+" if mode == "r+" else "w+",
+        self._flags = np.memmap(self.flag_path, np.uint8, mode,
                                 shape=(self.n,))
 
     def get(self, i: int) -> np.ndarray | None:

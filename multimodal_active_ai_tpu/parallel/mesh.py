@@ -122,9 +122,14 @@ def local_batch_rows(x) -> np.ndarray:
     """
     if jax.process_count() == 1 or not hasattr(x, "addressable_shards"):
         return np.asarray(jax.device_get(x))
-    shards = sorted(x.addressable_shards,
-                    key=lambda s: s.index[0].start or 0)
-    return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
+    # dedupe by batch offset: with a model axis (or a replicated array)
+    # several local devices hold the SAME rows — keep one copy per offset
+    by_start: dict[int, np.ndarray] = {}
+    for s in x.addressable_shards:
+        start = s.index[0].start or 0
+        if start not in by_start:
+            by_start[start] = np.asarray(s.data)
+    return np.concatenate([by_start[k] for k in sorted(by_start)], axis=0)
 
 
 def per_process_batch(per_shard_batch: int, mesh: Mesh) -> tuple[int, int]:

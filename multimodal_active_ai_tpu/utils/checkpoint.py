@@ -93,6 +93,24 @@ def _torch_conv_to_hwio(w: np.ndarray) -> np.ndarray:
     return np.transpose(w, (2, 3, 1, 0))
 
 
+def _sorted_slots(tree: dict, prefix: str) -> list[str]:
+    """Traced submodule slots (``Conv_0``, ``BatchNorm_1``, ...) in trace
+    order — the shared walk of all four import/export block mappers."""
+    return sorted([k for k in tree if k.startswith(prefix)],
+                  key=lambda s: int(s.split("_")[1]))
+
+
+def _has_downsample(block_p: dict, convs: list[str]) -> bool:
+    """A traced ResNet block has a downsample iff its LAST conv is a 1x1
+    reading the block input (BasicBlock: 2 main convs +1; Bottleneck:
+    3 main +1 — a bottleneck's conv3 is also 1x1 but reads the hidden
+    width, so the input-channel check disambiguates len==3)."""
+    c_in_first = block_p[convs[0]]["kernel"].shape[2]
+    c_in_last = block_p[convs[-1]]["kernel"].shape[2]
+    return len(convs) >= 3 and c_in_last == c_in_first and \
+        block_p[convs[-1]]["kernel"].shape[:2] == (1, 1)
+
+
 def torch_linear_on_flattened_conv(w: np.ndarray, chw: tuple[int, int, int]) -> np.ndarray:
     """Convert a torch Linear weight that consumes ``x.view(B, -1)`` of an
     NCHW feature map into the flax kernel consuming the NHWC flatten.
@@ -149,10 +167,8 @@ def import_torch_simclr_state_dict(state_dict: dict[str, Any], params: dict,
         prefix = f"f.layer{stage}.{idx}."
         block_p = f_params[name]
         block_s = batch_stats["f"][name]
-        convs = sorted([k for k in block_p if k.startswith("Conv_")],
-                       key=lambda s: int(s.split("_")[1]))
-        bns = sorted([k for k in block_p if k.startswith("BatchNorm_")],
-                     key=lambda s: int(s.split("_")[1]))
+        convs = _sorted_slots(block_p, "Conv_")
+        bns = _sorted_slots(block_p, "BatchNorm_")
         has_down = (prefix + "downsample.0.weight") in sd
         n_main = len(convs) - (1 if has_down else 0)
         for j in range(n_main):
@@ -266,10 +282,8 @@ def import_torch_detr_state_dict(state_dict: dict[str, Any], params: dict,
         stage, idx = name[5:].split("_")
         prefix = f"{bb}layer{stage}.{idx}."
         block_p, block_s = f_params[name], f_stats[name]
-        convs = sorted([k for k in block_p if k.startswith("Conv_")],
-                       key=lambda s: int(s.split("_")[1]))
-        fbns = sorted([k for k in block_s if k.startswith("FrozenBatchNorm_")],
-                      key=lambda s: int(s.split("_")[1]))
+        convs = _sorted_slots(block_p, "Conv_")
+        fbns = _sorted_slots(block_s, "FrozenBatchNorm_")
         has_down = (prefix + "downsample.0.weight") in sd
         n_main = len(convs) - (1 if has_down else 0)
 
@@ -458,18 +472,9 @@ def export_torch_simclr_state_dict(params: dict, batch_stats: dict
         stage, idx = name[5:].split("_")
         prefix = f"f.layer{stage}.{idx}."
         block_p, block_s = f_params[name], f_stats[name]
-        convs = sorted([k for k in block_p if k.startswith("Conv_")],
-                       key=lambda s: int(s.split("_")[1]))
-        bns = sorted([k for k in block_p if k.startswith("BatchNorm_")],
-                     key=lambda s: int(s.split("_")[1]))
-        # a downsample exists iff the LAST traced conv is a 1x1 reading the
-        # block input (BasicBlock: 2 main convs +1; Bottleneck: 3 main +1 —
-        # a bottleneck's conv3 is also 1x1 but reads the hidden width, so
-        # the input-channel check disambiguates len(convs)==3)
-        c_in_first = block_p[convs[0]]["kernel"].shape[2]
-        c_in_last = block_p[convs[-1]]["kernel"].shape[2]
-        has_down = len(convs) >= 3 and c_in_last == c_in_first and \
-            block_p[convs[-1]]["kernel"].shape[:2] == (1, 1)
+        convs = _sorted_slots(block_p, "Conv_")
+        bns = _sorted_slots(block_p, "BatchNorm_")
+        has_down = _has_downsample(block_p, convs)
         n_main = len(convs) - (1 if has_down else 0)
         for j in range(n_main):
             sd[f"{prefix}conv{j + 1}.weight"] = _flax_conv_to_torch(
@@ -564,14 +569,9 @@ def export_torch_detr_state_dict(params: dict, batch_stats: dict
         stage, idx = name[5:].split("_")
         prefix = f"{bb}layer{stage}.{idx}."
         block_p, block_s = f_params[name], f_stats[name]
-        convs = sorted([k for k in block_p if k.startswith("Conv_")],
-                       key=lambda s: int(s.split("_")[1]))
-        fbns = sorted([k for k in block_s if k.startswith("FrozenBatchNorm_")],
-                      key=lambda s: int(s.split("_")[1]))
-        c_in_first = block_p[convs[0]]["kernel"].shape[2]
-        c_in_last = block_p[convs[-1]]["kernel"].shape[2]
-        has_down = len(convs) >= 3 and c_in_last == c_in_first and \
-            block_p[convs[-1]]["kernel"].shape[:2] == (1, 1)
+        convs = _sorted_slots(block_p, "Conv_")
+        fbns = _sorted_slots(block_s, "FrozenBatchNorm_")
+        has_down = _has_downsample(block_p, convs)
         n_main = len(convs) - (1 if has_down else 0)
         for j in range(n_main):
             sd[f"{prefix}conv{j + 1}.weight"] = _flax_conv_to_torch(

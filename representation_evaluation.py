@@ -232,5 +232,12 @@ def main(argv=None):
     return probe_state
 
 
+def cli() -> int:
+    """Console entry point (pyproject [project.scripts]): discard main's
+    returned train state so the process exits 0 on success."""
+    main()
+    return 0
+
+
 if __name__ == "__main__":
     main()
