@@ -271,3 +271,36 @@ def test_canvas_cache_with_shuffle_covers_all(tmp_path):
                         cache_dir=str(tmp_path / "cache"))
     list(iter(loader))
     assert loader.cache.complete
+
+
+def test_canvas_cache_partial_state_rebuilds(tmp_path):
+    """Mismatched on-disk halves must rebuild, not crash or serve garbage:
+    (a) missing .flags with data present; (b) the big .u8 deleted to
+    reclaim space while stale all-ones .flags remain."""
+    root = _make_image_tree(tmp_path / "data", classes=2, per_class=2)
+    files, labels, _ = list_image_folder(root)
+    cache = str(tmp_path / "cache")
+    loader = HostLoader(files, labels, batch_size=2, canvas_size=32,
+                        use_native=False, cache_dir=cache)
+    ep1 = [img.copy() for img, _ in iter(loader)]
+    assert loader.cache.complete
+
+    # (a) flags file vanishes -> fresh loader rebuilds instead of crashing
+    os.remove(loader.cache.flag_path)
+    l2 = HostLoader(files, labels, batch_size=2, canvas_size=32,
+                    use_native=False, cache_dir=cache)
+    assert not l2.cache.complete
+    ep2 = [img.copy() for img, _ in iter(l2)]
+    assert l2.stats["decoded"] == 4 and l2.cache.complete
+    for a, b in zip(ep1, ep2):
+        np.testing.assert_array_equal(a, b)
+
+    # (b) data file vanishes, stale flags remain -> must NOT serve zeros
+    os.remove(l2.cache.data_path)
+    l3 = HostLoader(files, labels, batch_size=2, canvas_size=32,
+                    use_native=False, cache_dir=cache)
+    assert not l3.cache.complete and l3.cache.hits == 0
+    ep3 = [img.copy() for img, _ in iter(l3)]
+    assert l3.stats["decoded"] == 4
+    for a, b in zip(ep1, ep3):
+        np.testing.assert_array_equal(a, b)
