@@ -72,6 +72,7 @@ class CaptionProbeConfig:
     verbose: bool = _flag("-v", "--verbose", default=False, action="store_true")
     num_examples: int = _flag("--num-examples", default=0)
     checkpoint_dir: str = _flag("--checkpoint-dir", default=".")
+    resume: str = _flag("--resume", default="")
 
 
 def load_caption_pairs(cfg):
@@ -138,9 +139,27 @@ def main(argv=None):
     # synthetic runs keep the corpus-free hashing tokenizer
     vocab = None
     text_vocab_size = cfg.vocab_size
+    resume_payload = None
+    if cfg.resume and os.path.isfile(cfg.resume):
+        resume_payload = ckpt.load_checkpoint(cfg.resume)
+    elif cfg.resume:
+        print(f"=> no checkpoint found at '{cfg.resume}'")
     if captions is not None:
-        vocab = Vocabulary.build(captions, max_size=cfg.vocab_size,
-                                 max_len=cfg.max_len)
+        if resume_payload is not None and "vocab_words_u8" in resume_payload:
+            # the saved embedding is indexed by the vocab it was trained
+            # with — restore THAT word→id map rather than trusting the
+            # annotations on disk to rebuild it identically
+            vocab = Vocabulary.from_u8(resume_payload["vocab_words_u8"],
+                                       max_len=cfg.max_len)
+            rebuilt = Vocabulary.build(captions, max_size=cfg.vocab_size,
+                                       max_len=cfg.max_len)
+            if rebuilt.words != vocab.words and jax.process_index() == 0:
+                print("WARNING: caption corpus changed since the checkpoint "
+                      f"was written ({rebuilt.size} vs {vocab.size} entries);"
+                      " using the checkpoint's vocabulary")
+        else:
+            vocab = Vocabulary.build(captions, max_size=cfg.vocab_size,
+                                     max_len=cfg.max_len)
         text_vocab_size = vocab.size
         if jax.process_index() == 0:
             print(f"caption vocabulary: {vocab.size} entries "
@@ -158,6 +177,17 @@ def main(argv=None):
     params = {"image_head": head_vars["params"], "text": text_vars["params"]}
     tx = optimizers.get_optimizer("adam", cfg.lr)
     state = TrainState.create(apply_fn=None, params=params, tx=tx, batch_stats={})
+    if resume_payload is not None:
+        saved_size = int(resume_payload.get("vocab_size", text_vocab_size))
+        if saved_size != text_vocab_size:
+            raise ValueError(
+                f"checkpoint text tower was built for a {saved_size}-entry "
+                f"vocabulary but this run has {text_vocab_size}; the saved "
+                "word→id mapping does not apply")
+        state = state.replace(params=ckpt.restore_like(
+            state.params, resume_payload["state_dict"]))
+        print(f"=> resumed caption probe from '{cfg.resume}' "
+              f"(epoch {int(resume_payload['epoch'])})")
 
     train_step = caption_probe.make_caption_probe_train_step(
         encoder, head, text, mesh, retina_cfg, cfg.num_fixations,
@@ -219,10 +249,16 @@ def main(argv=None):
                   f"##T2I Top-5 {meters['t2i_top5'].avg}")
             if vocab is not None:
                 print(f"##Vocab {vocab.size} OOV-rate {vocab.oov_rate:.4f}")
-            ckpt.save_checkpoint({
+            payload = {
                 "epoch": epoch + 1,
                 "state_dict": jax.device_get(state.params),
-            }, False,
+                # the text tower is only meaningful with its exact word→id
+                # map: persist the vocabulary (and its size for a hard check)
+                "vocab_size": text_vocab_size,
+            }
+            if vocab is not None:
+                payload["vocab_words_u8"] = vocab.to_u8()
+            ckpt.save_checkpoint(payload, False,
                 filename=os.path.join(cfg.checkpoint_dir,
                                       "caption_probe_checkpoint.msgpack"),
                 best_filename=os.path.join(cfg.checkpoint_dir,

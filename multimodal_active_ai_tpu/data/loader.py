@@ -43,12 +43,21 @@ class CanvasCache:
     """
 
     def __init__(self, cache_dir: str, files: list[str], canvas: int,
-                 shard_id: int = 0, num_shards: int = 1):
+                 shard_id: int = 0, num_shards: int = 1,
+                 decoder_id: str = ""):
         os.makedirs(cache_dir, exist_ok=True)
         fp = hashlib.sha256()
-        fp.update(f"{canvas}|{shard_id}/{num_shards}|{len(files)}|".encode())
+        fp.update(f"{canvas}|{shard_id}/{num_shards}|{len(files)}|"
+                  f"{decoder_id}|".encode())
         for f in files:
             fp.update(f.encode())
+            # per-file size+mtime: a dataset regenerated in place at the
+            # same paths must invalidate the cache, not serve stale canvases
+            try:
+                st = os.stat(f)
+                fp.update(f"|{st.st_size}|{st.st_mtime_ns}".encode())
+            except OSError:
+                pass
             fp.update(b"\0")
         self.fingerprint = fp.hexdigest()[:16]
         base = os.path.join(cache_dir,
@@ -58,12 +67,31 @@ class CanvasCache:
         self.flag_path = base + ".flags"
         self.n = len(files)
         self.canvas = canvas
+        # projected footprint: an n*canvas*canvas*3 uint8 memmap per shard;
+        # warn (and require an env override above a threshold) BEFORE
+        # sparse-allocating terabytes on a real dataset
+        size_gb = self.n * canvas * canvas * 3 / 1e9
+        limit_gb = float(os.environ.get("MAAI_CANVAS_CACHE_MAX_GB", "256"))
+        if size_gb > limit_gb:
+            raise RuntimeError(
+                f"canvas cache would hold {size_gb:.1f} GB for this shard "
+                f"({self.n} images at {canvas}x{canvas}x3 uint8), above the "
+                f"{limit_gb:.0f} GB guard; raise MAAI_CANVAS_CACHE_MAX_GB "
+                "to proceed or drop --canvas-cache")
+        if size_gb > 1.0:
+            print(f"canvas cache: up to {size_gb:.1f} GB at {cache_dir} "
+                  f"({self.n} images, canvas {canvas})")
         meta = {"n": self.n, "canvas": canvas,
                 "fingerprint": self.fingerprint}
         if os.path.isfile(self.meta_path):
-            with open(self.meta_path) as f:
-                if json.load(f) != meta:  # stale: different dataset/layout
-                    os.remove(self.meta_path)
+            try:
+                with open(self.meta_path) as f:
+                    stale = json.load(f) != meta
+            except (ValueError, OSError):
+                # corrupt/truncated meta (killed mid-dump): rebuild, don't raise
+                stale = True
+            if stale:  # different dataset/layout (or unreadable)
+                os.remove(self.meta_path)
         # reuse only when BOTH files survive intact; a partial pair (killed
         # mid-create, or the big .u8 deleted to reclaim space while stale
         # all-ones .flags remain) must rebuild from scratch — opening
@@ -186,7 +214,11 @@ class HostLoader:
         if cache_dir:
             self.cache = CanvasCache(
                 cache_dir, [self.all_files[i] for i in self._base_index],
-                canvas_size, shard_id, num_shards)
+                canvas_size, shard_id, num_shards,
+                # decoder identity: native fixed-point resize and PIL produce
+                # different pixels — canvases from one must not satisfy the
+                # other silently
+                decoder_id="native" if self._native is not None else "pil")
             self._cache_pos = {fi: j for j, fi in enumerate(self._base_index)}
         # per-epoch loader statistics (decode/cache/wait breakdown)
         self.stats = {"decode_s": 0.0, "wait_s": 0.0, "batches": 0,

@@ -83,6 +83,22 @@ class Vocabulary:
         words = [w for w, n in counts.most_common() if n >= min_freq]
         return cls(words[: max_size - cls._BASE], max_len)
 
+    def to_u8(self):
+        """Word list as a uint8 array (newline-joined UTF-8) — the msgpack-
+        checkpointable form. A text-tower checkpoint is only meaningful with
+        the exact word→id map it was trained against; saving the vocabulary
+        beside the embedding makes a mismatch detectable instead of silent."""
+        import numpy as np
+
+        return np.frombuffer("\n".join(self.words).encode("utf-8"),
+                             np.uint8).copy()
+
+    @classmethod
+    def from_u8(cls, arr, max_len: int = 32) -> "Vocabulary":
+        """Inverse of :meth:`to_u8`."""
+        blob = bytes(bytearray(arr)).decode("utf-8")
+        return cls(blob.split("\n") if blob else [], max_len)
+
     def encode(self, text: str):
         """(ids, mask) padded to ``max_len``; same shape contract as
         :func:`tokenize` so the two are drop-in interchangeable."""

@@ -123,9 +123,18 @@ def local_batch_rows(x) -> np.ndarray:
     if jax.process_count() == 1 or not hasattr(x, "addressable_shards"):
         return np.asarray(jax.device_get(x))
     # dedupe by batch offset: with a model axis (or a replicated array)
-    # several local devices hold the SAME rows — keep one copy per offset
+    # several local devices hold the SAME rows — keep one copy per offset.
+    # Contract: the array is sharded over the BATCH axis only — a shard
+    # split along any other axis would make the kept copy a fragment (one
+    # device's columns) silently posing as full rows, so check it is full.
     by_start: dict[int, np.ndarray] = {}
     for s in x.addressable_shards:
+        if any(sl.indices(dim) != (0, dim, 1)
+               for sl, dim in zip(s.index[1:], x.shape[1:])):
+            raise ValueError(
+                "local_batch_rows requires P(DATA_AXIS)-only sharding: "
+                f"shard {s.index} does not span the full non-batch extent "
+                f"of shape {x.shape}")
         start = s.index[0].start or 0
         if start not in by_start:
             by_start[start] = np.asarray(s.data)

@@ -304,3 +304,57 @@ def test_canvas_cache_partial_state_rebuilds(tmp_path):
     assert l3.stats["decoded"] == 4
     for a, b in zip(ep1, ep3):
         np.testing.assert_array_equal(a, b)
+
+
+def test_canvas_cache_invalidation_guards(tmp_path, monkeypatch):
+    """Round-4 advisor items: (a) in-place content changes (same paths, new
+    size/mtime) invalidate the cache; (b) a different decode backend does;
+    (c) a corrupt/truncated meta file rebuilds instead of raising; (d) the
+    projected-size guard refuses oversized caches without an override."""
+    from multimodal_active_ai_tpu.data.loader import CanvasCache
+
+    files = []
+    for i in range(3):
+        p = tmp_path / f"f{i}.jpg"
+        p.write_bytes(b"x" * (10 + i))
+        files.append(str(p))
+    cache = str(tmp_path / "cache")
+    c1 = CanvasCache(cache, files, 8)
+    c1.put(0, np.zeros((8, 8, 3), np.uint8))
+    assert CanvasCache(cache, files, 8).hits == 1    # unchanged -> reuse
+
+    os.utime(files[0], (1, 1))                       # (a) regenerated file
+    c2 = CanvasCache(cache, files, 8)
+    assert c2.fingerprint != c1.fingerprint and c2.hits == 0
+
+    c3 = CanvasCache(cache, files, 8, decoder_id="native")   # (b)
+    assert c3.fingerprint != c2.fingerprint
+
+    with open(c2.meta_path, "w") as f:               # (c) truncated meta
+        f.write('{"n": 3, "can')
+    assert CanvasCache(cache, files, 8).hits == 0
+
+    monkeypatch.setenv("MAAI_CANVAS_CACHE_MAX_GB", "0.000001")   # (d)
+    with pytest.raises(RuntimeError, match="canvas cache"):
+        CanvasCache(cache, files, 64)
+
+
+def test_loader_decoder_identity_splits_cache(tmp_path):
+    """PIL- and native-decoded canvases differ pixelwise: a loader with the
+    other backend must not serve the first backend's cache rows."""
+    from multimodal_active_ai_tpu.data import native
+    from multimodal_active_ai_tpu.data.loader import HostLoader
+
+    root = _make_image_tree(tmp_path / "data", classes=1, per_class=2)
+    files, labels, _ = list_image_folder(root)
+    cache = str(tmp_path / "cache")
+    pil = HostLoader(files, labels, batch_size=2, canvas_size=32,
+                     use_native=False, cache_dir=cache)
+    list(iter(pil))
+    assert pil.cache.complete
+    if not native.available():
+        pytest.skip("native decoder not built")
+    nat = HostLoader(files, labels, batch_size=2, canvas_size=32,
+                     use_native=True, cache_dir=cache)
+    assert nat.cache.fingerprint != pil.cache.fingerprint
+    assert nat.cache.hits == 0

@@ -10,6 +10,7 @@ from multimodal_active_ai_tpu.models.text import (
     PAD_ID,
     GlimpseCaptioner,
     TextEncoder,
+    Vocabulary,
     tokenize,
 )
 
@@ -156,3 +157,25 @@ def test_vocabulary_encoder_compatible(rng):
     out = enc.apply(variables, jnp.asarray(ids))
     assert out.shape == (2, 16)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_vocabulary_u8_roundtrip(tmp_path):
+    """The vocab persists beside the text tower (round-4 advisor item): a
+    text-tower checkpoint is only meaningful with the exact word→id map it
+    was trained against, so the word list rides in the checkpoint dict and
+    survives the msgpack round trip."""
+    import numpy as np
+    from multimodal_active_ai_tpu.utils import checkpoint as ckpt
+
+    corpus = ["A cat sat on the mat.", "A naïve dog; the dog barked!"]
+    vocab = Vocabulary.build(corpus, max_len=8)
+    path = str(tmp_path / "probe.msgpack")
+    ckpt.save_checkpoint({"vocab_words_u8": vocab.to_u8(),
+                          "vocab_size": vocab.size}, False, filename=path)
+    payload = ckpt.load_checkpoint(path)
+    restored = Vocabulary.from_u8(payload["vocab_words_u8"], max_len=8)
+    assert restored.words == vocab.words
+    assert int(payload["vocab_size"]) == restored.size
+    ids_a, _ = vocab.encode(corpus[1])
+    ids_b, _ = restored.encode(corpus[1])
+    assert ids_a == ids_b
