@@ -171,9 +171,207 @@ def detr_inference_bench():
               file=sys.stderr)
 
 
+def _bench_env():
+    """(on_tpu, n_dev, mesh, batch, canvas, steps) shared by the per-driver
+    bench modes."""
+    from multimodal_active_ai_tpu.parallel.mesh import create_mesh
+
+    on_tpu = jax.devices()[0].platform == "tpu"
+    n_dev = len(jax.devices())
+    mesh = create_mesh() if n_dev > 1 else None
+    batch = int(os.environ.get("BENCH_BATCH", "128" if on_tpu else "4"))
+    canvas = int(os.environ.get("BENCH_CANVAS", "640" if on_tpu else "64"))
+    steps = int(os.environ.get("BENCH_STEPS", "10" if on_tpu else "2"))
+    return on_tpu, n_dev, mesh, batch, canvas, steps
+
+
+def _retina_cfg_for(canvas: int):
+    from multimodal_active_ai_tpu.ops import retina
+
+    return retina.RetinaConfig(canvas_size=canvas) if canvas >= 640 \
+        else retina.RetinaConfig(canvas_size=canvas,
+                                 crop_sizes=(40, 24, 10, 30), supersample=2)
+
+
+def _timed_windows(run_one, block_on, steps: int, n_keys_extra: int = 1):
+    """Warmup + N timing windows over ``run_one(key_i)``; returns
+    (window wall times, total per-window work units multiplier)."""
+    windows = _num_windows()
+    keys = jax.device_get(jax.random.split(jax.random.PRNGKey(1),
+                                           windows * steps + n_keys_extra))
+    block_on(run_one(keys[0]))           # warmup/compile
+    window_dts, ki = [], 1
+    for _ in range(windows):
+        t0 = perf_counter()
+        out = None
+        for _ in range(steps):
+            out = run_one(keys[ki])
+            ki += 1
+        block_on(out)
+        window_dts.append(perf_counter() - t0)
+    return window_dts
+
+
+def _emit(metric: str, window_dts, units_per_window: float, n_dev: int,
+          config: dict):
+    rates, median = _window_rates(window_dts, units_per_window, n_dev)
+    print(json.dumps({
+        "metric": metric,
+        "value": round(rates[-1], 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(rates[-1] / 8000.0, 4),
+        "windows_img_s_chip": [round(r, 2) for r in rates],
+        "median_img_s_chip": round(median, 2),
+        "config": config,
+    }))
+
+
+def probe_bench():
+    """Linear-probe path throughput (round-3 verdict #6): frozen-encoder
+    feature extraction of F labeled glimpses + probe update, the production
+    ``Representation_Evaluation.py:598-712`` train step. One "image" = one
+    source image through the step."""
+    from multimodal_active_ai_tpu.config import EvalConfig
+    from multimodal_active_ai_tpu.models import LogisticRegression, SimCLRModule
+    from multimodal_active_ai_tpu.models.resnet import encoder_feature_dim
+    from multimodal_active_ai_tpu.parallel.mesh import DATA_AXIS, batch_sharding
+    from multimodal_active_ai_tpu.train import eval_probe, optimizers
+    from multimodal_active_ai_tpu.train.simclr_train import TrainState
+
+    on_tpu, n_dev, mesh, batch, canvas, steps = _bench_env()
+    cfg = EvalConfig(arch=os.environ.get("BENCH_ARCH", "ResNet18"))
+    fixations = int(os.environ.get("BENCH_FIXATIONS",
+                                   str(cfg.num_fixations)))
+    retina_cfg = _retina_cfg_for(canvas)
+    rng = jax.random.PRNGKey(0)
+    enc = SimCLRModule(arch=cfg.arch, axis_name=None, norm_kind="bn",
+                       dtype=jnp.bfloat16)
+    enc_vars = enc.init(rng, jnp.ones((2, retina_cfg.glimpse_size,
+                                       retina_cfg.glimpse_size,
+                                       retina_cfg.num_channels)), train=False)
+    feat = encoder_feature_dim(cfg.arch) * 16 * fixations
+    probe = LogisticRegression(num_classes=cfg.num_classes)
+    pv = probe.init(rng, jnp.ones((2, feat)))
+    tx = optimizers.get_optimizer("adam", lambda t: cfg.lr)
+    state = TrainState.create(apply_fn=probe.apply, params=pv["params"],
+                              tx=tx, batch_stats={})
+    global_batch = batch * (mesh.shape[DATA_AXIS] if mesh else 1)
+    step = eval_probe.make_probe_train_step(enc, probe, mesh, retina_cfg,
+                                            fixations)
+    images = jax.random.randint(rng, (global_batch, canvas, canvas, 3),
+                                0, 256, dtype=jnp.int32).astype(jnp.uint8)
+    labels = jax.random.randint(rng, (global_batch,), 0, cfg.num_classes,
+                                jnp.int32)
+    if mesh is not None:
+        sh = batch_sharding(mesh)
+        images, labels = jax.device_put(images, sh), jax.device_put(labels, sh)
+
+    holder = {"state": state}
+
+    def run_one(key):
+        holder["state"], m = step(holder["state"], enc_vars, images, labels,
+                                  key)
+        return m
+
+    dts = _timed_windows(run_one, lambda m: jax.block_until_ready(m["loss"]),
+                         steps)
+    _emit("probe_train_images_per_sec_per_chip", dts, steps * global_batch,
+          n_dev, {"arch": cfg.arch, "fixations": fixations,
+                  "batch": global_batch, "canvas": canvas,
+                  "num_classes": cfg.num_classes})
+
+
+def rls_bench():
+    """RLS path throughput (round-3 verdict #6): ε-greedy policy rollout
+    (DQN argmax per fixation) + DETR update + a Bellman DQN update every
+    step (the driver runs it with p=0.7, ``DETR_Image_Classification_RLS.py:
+    776-788`` — benching it unconditionally measures the full-cost step;
+    noted in the config). One "image" = one source image per train step."""
+    from multimodal_active_ai_tpu.config import RLSConfig
+    from multimodal_active_ai_tpu.models import build_dqn
+    from multimodal_active_ai_tpu.models import detr as detr_models
+    from multimodal_active_ai_tpu.parallel.mesh import DATA_AXIS, batch_sharding
+    from multimodal_active_ai_tpu.train import detr_train, rls_train
+    from multimodal_active_ai_tpu.train.simclr_train import TrainState
+    import optax
+
+    on_tpu, n_dev, mesh, batch, canvas, steps = _bench_env()
+    fixations = int(os.environ.get("BENCH_FIXATIONS", "4"))
+    cfg = RLSConfig(backbone=os.environ.get("BENCH_ARCH", "ResNet18"),
+                    dataset="imagenet", num_fixations=fixations)
+    retina_cfg = _retina_cfg_for(canvas)
+    rng = jax.random.PRNGKey(0)
+    model, criterion = detr_models.build(cfg, num_classes=1000,
+                                         dtype=jnp.bfloat16)
+    g = jnp.ones((2, fixations, retina_cfg.glimpse_size,
+                  retina_cfg.glimpse_size, retina_cfg.num_channels))
+    variables = model.init(rng, g, jnp.full((2, fixations, 2), 0.5))
+    tx = detr_train.make_detr_optimizer(
+        variables["params"], cfg.lr, cfg.lr_backbone, cfg.weight_decay,
+        cfg.clip_max_norm, cfg.lr_drop, 1000)
+    state = TrainState.create(apply_fn=model.apply,
+                              params=variables["params"], tx=tx,
+                              batch_stats=variables["batch_stats"])
+    dqn = build_dqn(arch=cfg.dqn, num_of_actions=cfg.num_of_actions,
+                    norm_kind="bn", axis_name=None, dtype=jnp.bfloat16)
+    dv = dqn.init(jax.random.fold_in(rng, 1),
+                  jnp.ones((2, retina_cfg.glimpse_size,
+                            retina_cfg.glimpse_size,
+                            retina_cfg.num_channels)), train=False)
+    pstate = TrainState.create(apply_fn=dqn.apply, params=dv["params"],
+                               tx=optax.rmsprop(cfg.lr),
+                               batch_stats=dv.get("batch_stats", {}))
+    target = rls_train.sync_target(pstate)
+    global_batch = batch * (mesh.shape[DATA_AXIS] if mesh else 1)
+    tstep = rls_train.make_rls_train_step(
+        model, criterion, dqn, mesh, retina_cfg, fixations,
+        cfg.num_of_actions, cfg.eps_start, cfg.eps_end, cfg.eps_decay)
+    dqn_upd = rls_train.make_dqn_update_step(dqn, cfg.num_of_actions,
+                                             cfg.gamma, mesh)
+    images = jax.random.randint(rng, (global_batch, canvas, canvas, 3),
+                                0, 256, dtype=jnp.int32).astype(jnp.uint8)
+    labels = jax.random.randint(rng, (global_batch,), 0, 1000, jnp.int32)
+    tr = (jnp.zeros((global_batch, retina_cfg.glimpse_size,
+                     retina_cfg.glimpse_size, retina_cfg.num_channels)),
+          jnp.zeros((global_batch, 2)),
+          jnp.zeros((global_batch, retina_cfg.glimpse_size,
+                     retina_cfg.glimpse_size, retina_cfg.num_channels)),
+          jnp.zeros((global_batch,)))
+    if mesh is not None:
+        sh = batch_sharding(mesh)
+        images, labels = jax.device_put(images, sh), jax.device_put(labels, sh)
+        tr = tuple(jax.device_put(x, sh) for x in tr)
+    epoch_dev = jnp.asarray(1, jnp.int32)
+    holder = {"state": state, "pstate": pstate}
+
+    def run_one(key):
+        holder["state"], m, ro, reward = tstep(
+            holder["state"],
+            {"params": holder["pstate"].params,
+             "batch_stats": holder["pstate"].batch_stats},
+            images, labels, key, epoch_dev)
+        holder["pstate"], dqn_loss = dqn_upd(holder["pstate"], target, tr)
+        return dqn_loss
+
+    dts = _timed_windows(run_one, jax.block_until_ready, steps)
+    _emit("rls_train_images_per_sec_per_chip", dts, steps * global_batch,
+          n_dev, {"backbone": cfg.backbone, "dqn": cfg.dqn,
+                  "fixations": fixations, "batch": global_batch,
+                  "canvas": canvas, "num_of_actions": cfg.num_of_actions,
+                  "dqn_update_every_step": True,
+                  "dqn_batch": global_batch,
+                  "enc_layers": cfg.enc_layers,
+                  "dec_layers": cfg.dec_layers})
+
+
 def main():
-    if os.environ.get("BENCH_MODE") == "detr":
+    mode = os.environ.get("BENCH_MODE")
+    if mode == "detr":
         return detr_inference_bench()
+    if mode == "probe":
+        return probe_bench()
+    if mode == "rls":
+        return rls_bench()
     from multimodal_active_ai_tpu.models import SimCLRModule
     from multimodal_active_ai_tpu.ops import retina
     from multimodal_active_ai_tpu.parallel.mesh import DATA_AXIS, create_mesh
@@ -199,8 +397,11 @@ def main():
         retina.RetinaConfig(canvas_size=canvas, crop_sizes=(40, 24, 10, 30),
                             supersample=2)
     # plain BatchNorm under GSPMD computes global-batch statistics
-    # (SyncBatchNorm semantics); no axis_name — no shard_map
-    model = SimCLRModule(arch=arch, axis_name=None, norm_kind="bn",
+    # (SyncBatchNorm semantics); no axis_name — no shard_map.
+    # BENCH_NORM=bn_fused swaps in the one-pass Pallas stat kernel
+    # (single-device programs only; see ops/pallas_bn.py).
+    norm_kind = os.environ.get("BENCH_NORM", "bn")
+    model = SimCLRModule(arch=arch, axis_name=None, norm_kind=norm_kind,
                          dtype=jnp.bfloat16)
     global_batch = batch_per_chip * (mesh.shape[DATA_AXIS] if mesh else 1)
     sched = schedule.simclr_learning_rate(0.01, global_batch, 1_281_167,
@@ -271,13 +472,20 @@ def main():
             return jax.device_put(x, sharding) if sharding is not None \
                 else jnp.asarray(x)
 
-        images, _ = next(it)
-        state, m = step(state, put(images), step_keys[0])  # warmup/compile
+        # BENCH_DEV_PREFETCH: host->device transfers issued ahead of the
+        # step (the DALI prefetch_queue_depth role, second stage). Defaults
+        # off on few-core hosts where any concurrent host thread collapses
+        # the tunneled transfer (PERF.md).
+        dev_depth = int(os.environ.get(
+            "BENCH_DEV_PREFETCH", "0" if (os.cpu_count() or 1) < 4 else "2"))
+        from multimodal_active_ai_tpu.data.prefetch import device_prefetch
+
+        dev_it = device_prefetch(it, lambda b: put(b[0]), depth=dev_depth)
+        state, m = step(state, next(dev_it), step_keys[0])  # warmup/compile
         jax.block_until_ready(m["losses"])
         t0 = perf_counter()
         for i in range(steps):
-            images, _ = next(it)
-            state, m = step(state, put(images), step_keys[i + 1])
+            state, m = step(state, next(dev_it), step_keys[i + 1])
         jax.block_until_ready(m["losses"])
         dt = perf_counter() - t0
         if os.environ.get("BENCH_VERBOSE"):

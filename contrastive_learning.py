@@ -33,6 +33,7 @@ from multimodal_active_ai_tpu.data import (
     list_coco_images,
     list_image_folder,
 )
+from multimodal_active_ai_tpu.data.prefetch import device_prefetch
 from multimodal_active_ai_tpu.models import SimCLRModule
 from multimodal_active_ai_tpu.ops import retina
 from multimodal_active_ai_tpu.parallel.mesh import (
@@ -205,6 +206,7 @@ def main(argv=None):
     def put(images):
         return make_global_array(images, batch_sharding)
 
+    saver = ckpt.AsyncCheckpointer()
     epoch = start_epoch - 1
     for epoch in range(start_epoch, cfg.epochs):
         # ---- train (reference train(), Contrastive_Learning.py:577-740) ----
@@ -215,8 +217,13 @@ def main(argv=None):
         step_keys = epoch_key_stream(rng, epoch, nbatches + 1)
         val_keys = epoch_key_stream(rng, 10_000 + epoch, len(val_reader) + 1)
         last_loss = None
-        for i, (images, _labels) in enumerate(iter(train_reader)):
-            state, metrics = train_step(state, put(images), step_keys[i])
+        # transfer of batch N+1 overlaps the device step on batch N
+        # (DALI prefetch_queue_depth role; --device-prefetch 0 disables)
+        dev_batches = device_prefetch(iter(train_reader),
+                                      lambda b: put(b[0]),
+                                      depth=cfg.device_prefetch)
+        for i, images_dev in enumerate(dev_batches):
+            state, metrics = train_step(state, images_dev, step_keys[i])
             last_loss = metrics["losses"]
             if cfg.test and i > 10:
                 break
@@ -258,7 +265,10 @@ def main(argv=None):
                   f"is {best_prec1}")
             is_best = prec1 > best_prec1
             best_prec1 = max(prec1, best_prec1)
-            ckpt.save_checkpoint({
+            # non-blocking: serialization + write happen on a background
+            # thread while the next epoch trains (the reference blocks the
+            # epoch boundary on torch.save, Contrastive_Learning.py:517-530)
+            saver.save({
                 "epoch": epoch + 1,
                 "step": int(state.step),
                 "state_dict": {"params": jax.device_get(state.params),
@@ -273,6 +283,7 @@ def main(argv=None):
             print(perf_line(prec1, prec5, best_prec1, global_batch, total_time.avg))
         if cfg.test:
             break
+    saver.wait()   # the last epoch's save must be on disk before we return
 
     if cfg.export_torch and jax.process_index() == 0:
         # the export half of the checkpoint contract: a model pretrained

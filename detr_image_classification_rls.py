@@ -3,14 +3,19 @@
 
 Entry-point rebuild of reference ``DETR_Image_Classification_RLS.py``
 (885 LoC): trains the DETR classifier while a DQN learns the saccade policy
-— ε-greedy glimpse selection, per-sample replay transitions rewarded by
-top-1 correctness, 70%-probability DQN Bellman updates per batch, and
-target-network sync every ``target_update_freq`` epochs (``:590-592``).
+— ε-greedy glimpse selection over ``num_fixs ∈ [2, F-1]`` fixations
+(``:688,694``), one replay transition per sample (the final consecutive
+glimpse pair, ``:757-769``) rewarded by top-1 correctness, 70%-probability
+DQN Bellman updates per batch, and target-network sync every
+``target_update_freq`` epochs (``:590-592``). ``--dense-replay`` switches
+to pushing every consecutive pair (documented divergence).
 
 Improvements over the reference (documented divergences): the RLS reference
 has no validation loop and a dead/buggy DQN resume path (undefined
-``policy_model`` names, ``:459-461``); this driver validates with the
-policy-driven rollout and has working DQN checkpointing.
+``policy_model`` names, ``:459-461``); this driver validates every epoch
+with BOTH random saccades (``##Top-1``, comparable to the DETR driver) and
+greedy policy rollouts (``##Policy Top-1`` — the measurement of whether the
+learned saccades help), and has working DQN checkpointing.
 """
 
 from __future__ import annotations
@@ -118,6 +123,9 @@ def main(argv=None):
     dqn_local_batch = cfg.dqn_batch_size // jax.process_count()
     eval_step = detr_train.make_detr_eval_step(
         model, criterion, mesh, retina_cfg, cfg.num_fixations)
+    policy_eval_step = rls_train.make_policy_eval_step(
+        model, criterion, dqn, mesh, retina_cfg, cfg.num_fixations,
+        cfg.num_of_actions)
     batch_sharding = NamedSharding(mesh, P(DATA_AXIS))
 
     ckpt_file = os.path.join(cfg.checkpoint_dir, "detr_classifier_checkpoint.msgpack")
@@ -172,18 +180,30 @@ def main(argv=None):
                 state, dqn_variables, put(images), put(labels),
                 step_keys[i], epoch_dev)
 
-            # host-side replay push: transitions (g_{j-1}, a_j, g_j, r)
-            # per sample per fixation j>=1 (RLS :751-769). Each process
-            # keeps ITS shard's rows (the per-rank replay of the reference)
+            # host-side replay push. Each process keeps ITS shard's rows
+            # (the per-rank replay of the reference). Reference semantics
+            # (default): ONE transition per sample — the final consecutive
+            # pair (g_{nf-2}, a_{nf-1}, g_{nf-1}, r), RLS :757-769 indexes
+            # num_fixs-2 -> num_fixs-1 only. --dense-replay pushes every
+            # consecutive pair instead (documented divergence: richer
+            # replay from the same rollout, all pairs sharing the final
+            # reward).
             glimpses = local_batch_rows(rollout.glimpses)
             saccades = local_batch_rows(rollout.saccades)
             mask = local_batch_rows(rollout.mask)
             rew = local_batch_rows(reward)
-            for j in range(1, glimpses.shape[1]):
-                valid = ~mask[:, j]
-                if valid.any():
-                    memory.push(glimpses[valid, j - 1], saccades[valid, j],
-                                glimpses[valid, j], rew[valid])
+            if cfg.dense_replay:
+                for j in range(1, glimpses.shape[1]):
+                    valid = ~mask[:, j]
+                    if valid.any():
+                        memory.push(glimpses[valid, j - 1],
+                                    saccades[valid, j],
+                                    glimpses[valid, j], rew[valid])
+            else:
+                # num_fixs is one scalar draw shared by the whole batch
+                nf = int(glimpses.shape[1] - mask[0].sum())
+                memory.push(glimpses[:, nf - 2], saccades[:, nf - 1],
+                            glimpses[:, nf - 1], rew)
 
             # 70%-probability DQN optimization per batch (RLS :776-788);
             # the shared-seed host_rng replaces the reference's rank-0 MPI
@@ -216,14 +236,23 @@ def main(argv=None):
         if (epoch + 1) % cfg.target_update_freq == 0:
             target_vars = rls_train.sync_target(policy_state)
 
-        # validation with policy-driven saccades (reference RLS has none;
-        # we evaluate with the random-saccade evaluator for comparability)
+        # validation (the reference RLS has none): the random-saccade
+        # evaluator for comparability with the plain DETR driver, plus a
+        # greedy-policy rollout pass on the same batches — the measurement
+        # of whether the LEARNED saccades help classification
         top1, top5 = AverageMeter(), AverageMeter()
+        ptop1, ptop5 = AverageMeter(), AverageMeter()
+        dqn_variables = {"params": policy_state.params,
+                         "batch_stats": policy_state.batch_stats}
         for i, (images, labels) in enumerate(iter(val_reader)):
-            m = jax.device_get(eval_step(state, put(images), put(labels),
-                                         val_keys[i]))
+            im, lb = put(images), put(labels)
+            m = jax.device_get(eval_step(state, im, lb, val_keys[i]))
+            pm = jax.device_get(policy_eval_step(state, dqn_variables, im,
+                                                 lb, val_keys[i]))
             top1.update(float(m["top1"]) * 100, global_batch)
             top5.update(float(m["top5"]) * 100, global_batch)
+            ptop1.update(float(pm["top1"]) * 100, global_batch)
+            ptop5.update(float(pm["top5"]) * 100, global_batch)
             if cfg.test and i > 10:
                 break
         val_reader.reset()
@@ -248,8 +277,10 @@ def main(argv=None):
                 "target_state_dict": jax.device_get(target_vars["params"]),
                 "target_batch_stats": jax.device_get(target_vars["batch_stats"]),
             }, False, filename=dqn_file, best_filename=dqn_file + ".best")
-            print(f"##Top-1 {prec1}\n##Top-5 {prec5}\n##Best Top-1 saved "
-                  f"{best_prec1}\n##Perf {global_batch / total_time.avg if total_time.avg else float('nan')}")
+            print(f"##Top-1 {prec1}\n##Top-5 {prec5}\n"
+                  f"##Policy Top-1 {ptop1.avg}\n##Policy Top-5 {ptop5.avg}\n"
+                  f"##Best Top-1 saved {best_prec1}\n"
+                  f"##Perf {global_batch / total_time.avg if total_time.avg else float('nan')}")
         if cfg.test:
             break
     return state, policy_state

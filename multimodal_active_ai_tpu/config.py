@@ -79,6 +79,10 @@ class ContrastiveConfig:
                                        "(scan on TPU, unrolled on CPU), "
                                        "-1 full unroll, n>1 scan unroll=n "
                                        "(n=5 benched +3% at ~2x compile)")
+    device_prefetch: int = _flag("--device-prefetch", default=2,
+                                 help="host->device transfers issued ahead "
+                                      "of the step (0 = synchronous put; "
+                                      "DALI prefetch_queue_depth role)")
 
 
 @dataclass
@@ -193,6 +197,12 @@ class RLSConfig(DETRConfig):
     eps_decay: float = _flag("--eps-decay", default=10.0)
     target_update_freq: int = _flag("--target-update-freq", default=3)
     num_of_actions: int = _flag("--num-of-actions", default=100)
+    dense_replay: bool = _flag("--dense-replay", default=False,
+                               action="store_true",
+                               help="push EVERY consecutive glimpse pair to "
+                                    "the replay (divergence; the reference "
+                                    "pushes only the final pair, RLS "
+                                    ":757-769)")
 
 
 def add_args_from_dataclass(parser: argparse.ArgumentParser, cls) -> None:

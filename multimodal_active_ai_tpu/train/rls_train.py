@@ -3,17 +3,20 @@
 Rebuild of reference ``DETR_Image_Classification_RLS.py:657-849`` +
 ``DQN/Training.py``: while the DETR classifier trains, a DQN learns *where
 to look next* — per fixation, the policy net proposes the next saccade from
-the last glimpse (ε-greedy), per-sample transitions
-``(glimpse_{j-1}, saccade_j, glimpse_j, top1-correct reward)`` are pushed to
-a replay memory, and with probability 0.7 per batch a Bellman-Huber DQN
-update runs (grad clamp ±1 + RMSprop, target-net sync every
-``target_update_freq`` epochs).
+the last glimpse (ε-greedy); per sample, the FINAL consecutive glimpse pair
+``(glimpse_{F-2}, saccade_{F-1}, glimpse_{F-1}, top1-correct reward)`` is
+pushed to a replay memory (``:757-769`` pushes only indices
+``num_fixs-2 → num_fixs-1``); and with probability 0.7 per batch a
+Bellman-Huber DQN update runs (grad clamp ±1 + RMSprop, target-net sync
+every ``target_update_freq`` epochs).
 
 TPU-native split: the glimpse rollout (retina + policy argmax per fixation)
 and the DETR/DQN updates are jitted device programs; the replay memory stays
 on host (RAM capacity) with vectorized batch pushes — the host↔device
-boundary crossed once per batch, not once per (sample × fixation) as in the
-reference (``DETR_Image_Classification_RLS.py:751-769``).
+boundary crossed once per batch, not once per sample as in the reference
+(``DETR_Image_Classification_RLS.py:751-769``). The driver's
+``--dense-replay`` flag optionally pushes EVERY consecutive pair (a
+documented divergence: richer replay from the same rollout).
 """
 
 from __future__ import annotations
@@ -44,14 +47,17 @@ def make_rollout(dqn_model, retina_cfg: retina.RetinaConfig,
     """Policy-driven glimpse rollout (``DETR_Image_Classification_RLS.py:
     686-729``): fixation 0 is random; epoch 0 is fully random; otherwise the
     policy DQN proposes coords with ε-greedy exploration. ``num_fixs`` is
-    drawn in [2, F] (``:686``) and becomes a pad mask.
+    drawn in [2, F-1] — the reference's ``torch.randint(2,
+    args.num_fixations)`` has an EXCLUSIVE high (``:688,694``), so fixation
+    budget F itself is never drawn — and becomes a pad mask. (F ≤ 2, where
+    the reference's randint would raise, pins num_fixs = 2.)
     """
 
     def rollout(dqn_variables, images, key, epoch):
         batch = images.shape[0]
         src = images.shape[1]
         k_n, k_loop = jax.random.split(key)
-        num_fixs = jax.random.randint(k_n, (), 2, max(num_fixations, 2) + 1)
+        num_fixs = jax.random.randint(k_n, (), 2, max(num_fixations, 3))
         thr = eps_end + (eps_start - eps_end) * jnp.exp(
             -epoch.astype(jnp.float32) / eps_decay)
 
@@ -132,6 +138,40 @@ def make_rls_train_step(model, criterion, dqn_model, mesh,
     # gathers them for the replay memory
     return data_parallel_jit(step, mesh, batch_args=(2, 3),
                              num_outputs=4, batch_outputs=(2, 3))
+
+
+def make_policy_eval_step(model, criterion, dqn_model, mesh,
+                          retina_cfg: retina.RetinaConfig,
+                          num_fixations: int, num_of_actions: int):
+    """Greedy-policy validation: does the LEARNED saccade policy help?
+
+    The reference never measures its own scientific question — RLS trains a
+    DQN to choose fixations (``DETR_Image_Classification_RLS.py:696-729``)
+    but has no validation loop at all; this step evaluates the DETR
+    classifier on rollouts where every fixation after the first is the
+    policy's greedy argmax (ε = 0, the ``select_action_from_policy`` path
+    of ``DQN/Training.py:57-68``), producing the ``##Policy Top-1`` the
+    driver prints next to the random-saccade ``##Top-1`` each epoch.
+    """
+
+    rollout_fn = make_rollout(dqn_model, retina_cfg, num_fixations,
+                              num_of_actions, eps_start=0.0, eps_end=0.0,
+                              eps_decay=1.0)
+
+    def step(state: TrainState, dqn_variables, images, labels, key):
+        # epoch=1: only fixation 0 is random; with ε=0 the rest are greedy
+        ro = rollout_fn(dqn_variables, images, key,
+                        jnp.asarray(1, jnp.int32))
+        out = model.apply({"params": state.params,
+                           "batch_stats": state.batch_stats},
+                          ro.glimpses, ro.saccades, ro.mask, train=False)
+        logits = jnp.mean(out["pred_logits"], axis=1)
+        losses = criterion(out["pred_logits"], labels)
+        return {"loss_ce": losses["loss_ce"],
+                "top1": top_k_accuracy(logits, labels, 1),
+                "top5": top_k_accuracy(logits, labels, 5)}
+
+    return data_parallel_jit(step, mesh, batch_args=(2, 3))
 
 
 def make_dqn_update_step(dqn_model, num_of_actions: int, gamma: float,

@@ -40,18 +40,77 @@ def save_checkpoint(state: dict, is_best: bool,
 
     ``to_state_dict`` first: optimizer states are tuples/namedtuples
     (optax chains), which msgpack cannot serialize directly."""
-    payload = serialization.msgpack_serialize(
-        serialization.to_state_dict(_to_host(state)))
+    _write_checkpoint(serialization.to_state_dict(_to_host(state)),
+                      is_best, filename, best_filename,
+                      state.get("best_prec1"))
+
+
+def _write_checkpoint(state_dict, is_best: bool, filename: str,
+                      best_filename: str, best_prec1) -> None:
+    """Serialize + atomic write (+ best copy): the device-independent half
+    of a save, shared by the sync and async paths."""
+    payload = serialization.msgpack_serialize(state_dict)
     os.makedirs(os.path.dirname(os.path.abspath(filename)), exist_ok=True)
     tmp = filename + ".tmp"
     with open(tmp, "wb") as f:
         f.write(payload)
     os.replace(tmp, filename)
     if is_best:
-        print("Saving a new best model with precesion {}".format(state.get("best_prec1")))
+        print("Saving a new best model with precesion {}".format(best_prec1))
         os.makedirs(os.path.dirname(os.path.abspath(best_filename)),
                     exist_ok=True)
         shutil.copyfile(filename, best_filename)
+
+
+class AsyncCheckpointer:
+    """Non-blocking checkpoint writes for the epoch loop.
+
+    The reference blocks its epoch boundary on ``torch.save``
+    (``Contrastive_Learning.py:517-530``); at pod scale the serialize+write
+    of the full params/opt/BN tree stalls every device. Here ``save()``
+    snapshots the tree to host synchronously (device arrays are donated to
+    the next step's jit, so the get cannot be deferred) and hands the
+    msgpack serialization + atomic file write + best-copy to one background
+    worker thread. At most one save is in flight — a second ``save()``
+    first joins the previous one, so checkpoints land in order and a crash
+    can lose at most the newest. Call ``wait()`` before reading the files
+    or exiting.
+    """
+
+    def __init__(self):
+        self._thread = None
+        self._error = None
+
+    def save(self, state: dict, is_best: bool,
+             filename: str = "checkpoint.msgpack",
+             best_filename: str = "model_best.msgpack") -> None:
+        self.wait()
+        # snapshot on the caller's thread: cheap host copies of the already
+        # device_get'd leaves (drivers pass host trees), and safe against
+        # later donation of the device buffers
+        state_dict = serialization.to_state_dict(_to_host(state))
+        best = state.get("best_prec1")
+        import threading
+
+        def work():
+            try:
+                _write_checkpoint(state_dict, is_best, filename,
+                                  best_filename, best)
+            except BaseException as exc:  # noqa: BLE001 — re-raised in wait()
+                self._error = exc
+
+        self._thread = threading.Thread(target=work, daemon=True)
+        self._thread.start()
+
+    def wait(self) -> None:
+        """Block until the in-flight save (if any) has hit the disk; re-raise
+        its error on the caller's thread."""
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
+        if self._error is not None:
+            err, self._error = self._error, None
+            raise RuntimeError("async checkpoint save failed") from err
 
 
 def load_checkpoint(filename: str) -> dict:

@@ -358,3 +358,40 @@ def test_loader_decoder_identity_splits_cache(tmp_path):
                      use_native=True, cache_dir=cache)
     assert nat.cache.fingerprint != pil.cache.fingerprint
     assert nat.cache.hits == 0
+
+
+def test_device_prefetch_overlap_order_and_errors():
+    """Round-3 verdict #7: the H2D transfer of batch N+1 must overlap the
+    step on batch N. With put=0.2 s and step=0.2 s over 5 batches, the
+    serial path costs ~2.0 s; the prefetched path hides the puts behind the
+    steps (~1.2 s). Also: order preserved, source errors surface, depth=0
+    degrades to synchronous."""
+    from time import perf_counter, sleep
+
+    from multimodal_active_ai_tpu.data.prefetch import device_prefetch
+
+    def put(b):
+        sleep(0.2)
+        return b * 10
+
+    t0 = perf_counter()
+    got = []
+    for item in device_prefetch(iter(range(5)), put, depth=2):
+        sleep(0.2)          # the "device step"
+        got.append(item)
+    dt = perf_counter() - t0
+    assert got == [0, 10, 20, 30, 40]
+    assert dt < 1.7, dt     # serial would be >= 2.0 s
+
+    # depth=0: synchronous identity pipeline
+    assert list(device_prefetch(iter([1, 2]), put, depth=0)) == [10, 20]
+
+    def boom():
+        yield 1
+        raise ValueError("reader died")
+
+    it = device_prefetch(boom(), lambda b: b, depth=2)
+    next(it)
+    with pytest.raises(RuntimeError, match="device prefetch"):
+        for _ in it:
+            pass

