@@ -12,6 +12,11 @@ reference's inner loop is one such view per source image,
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 vs_baseline is value / 8000 (the BASELINE.json v5e target).
 
+Driver-path modes (``BENCH_MODE`` env): default = SimCLR train;
+``detr`` = DETR classifier inference; ``probe`` = linear-probe train;
+``rls`` = RLS rollout + DETR update + Bellman update; ``captions`` =
+caption-probe train. Each emits the same JSON schema.
+
 Input modes (``BENCH_INPUT`` env or ``--input=``):
   device (default): batches generated in HBM — isolates the compute path.
   host: real JPEG files through HostLoader (native C++ decode pool) ->
@@ -27,6 +32,13 @@ import sys
 from time import perf_counter
 
 import jax
+
+# The baked axon plugin initializes its (remote) TPU backend even under
+# ``JAX_PLATFORMS=cpu`` — force the platform through jax.config (the same
+# route tests/conftest.py uses) so CPU smokes don't block on the tunnel.
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 
 
@@ -364,6 +376,64 @@ def rls_bench():
                   "dec_layers": cfg.dec_layers})
 
 
+def captions_bench():
+    """Caption-probe path throughput (round-3 verdict #6, fifth driver):
+    frozen-encoder glimpse features + image head + text tower, symmetric
+    InfoNCE update — the production ``coco_captions_probe.py`` train step.
+    One "image" = one image–caption pair per train step."""
+    from multimodal_active_ai_tpu.models import MLP, SimCLRModule
+    from multimodal_active_ai_tpu.models.resnet import encoder_feature_dim
+    from multimodal_active_ai_tpu.models.text import TextEncoder
+    from multimodal_active_ai_tpu.parallel.mesh import DATA_AXIS, batch_sharding
+    from multimodal_active_ai_tpu.train import caption_probe, optimizers
+    from multimodal_active_ai_tpu.train.simclr_train import TrainState
+
+    on_tpu, n_dev, mesh, batch, canvas, steps = _bench_env()
+    arch = os.environ.get("BENCH_ARCH", "ResNet18")
+    fixations = int(os.environ.get("BENCH_FIXATIONS", "2"))
+    max_len, vocab_size, lr, temperature = 32, 32768, 1e-4, 0.05
+    retina_cfg = _retina_cfg_for(canvas)
+    rng = jax.random.PRNGKey(0)
+    enc = SimCLRModule(arch=arch, axis_name=None, norm_kind="bn",
+                       dtype=jnp.bfloat16)
+    enc_vars = enc.init(rng, jnp.ones((2, retina_cfg.glimpse_size,
+                                       retina_cfg.glimpse_size,
+                                       retina_cfg.num_channels)), train=False)
+    head = MLP(hidden_dim=1024, output_dim=128)
+    text = TextEncoder(vocab_size=vocab_size, out_dim=128)
+    feat_dim = encoder_feature_dim(arch) * 16 * fixations
+    head_vars = head.init(rng, jnp.ones((2, feat_dim)))
+    text_vars = text.init(rng, jnp.zeros((2, max_len), jnp.int32))
+    params = {"image_head": head_vars["params"], "text": text_vars["params"]}
+    tx = optimizers.get_optimizer("adam", lambda t: lr)
+    state = TrainState.create(apply_fn=None, params=params, tx=tx,
+                              batch_stats={})
+    global_batch = batch * (mesh.shape[DATA_AXIS] if mesh else 1)
+    step = caption_probe.make_caption_probe_train_step(
+        enc, head, text, mesh, retina_cfg, fixations, temperature)
+    images = jax.random.randint(rng, (global_batch, canvas, canvas, 3),
+                                0, 256, dtype=jnp.int32).astype(jnp.uint8)
+    tokens = jax.random.randint(rng, (global_batch, max_len), 0, vocab_size,
+                                jnp.int32)
+    if mesh is not None:
+        sh = batch_sharding(mesh)
+        images, tokens = jax.device_put(images, sh), jax.device_put(tokens, sh)
+
+    holder = {"state": state}
+
+    def run_one(key):
+        holder["state"], m = step(holder["state"], enc_vars, images, tokens,
+                                  key)
+        return m
+
+    dts = _timed_windows(run_one, lambda m: jax.block_until_ready(m["loss"]),
+                         steps)
+    _emit("caption_probe_train_images_per_sec_per_chip", dts,
+          steps * global_batch, n_dev,
+          {"arch": arch, "fixations": fixations, "batch": global_batch,
+           "canvas": canvas, "max_len": max_len, "vocab_size": vocab_size})
+
+
 def main():
     mode = os.environ.get("BENCH_MODE")
     if mode == "detr":
@@ -372,6 +442,8 @@ def main():
         return probe_bench()
     if mode == "rls":
         return rls_bench()
+    if mode == "captions":
+        return captions_bench()
     from multimodal_active_ai_tpu.models import SimCLRModule
     from multimodal_active_ai_tpu.ops import retina
     from multimodal_active_ai_tpu.parallel.mesh import DATA_AXIS, create_mesh
