@@ -473,8 +473,13 @@ def main():
     # BENCH_NORM=bn_fused swaps in the one-pass Pallas stat kernel
     # (single-device programs only; see ops/pallas_bn.py).
     norm_kind = os.environ.get("BENCH_NORM", "bn")
+    # BENCH_STATS=pallas|gram fuses the 1x1 convs' BN-statistic production
+    # into the conv itself (models/conv_bn.py) — the round-3 profile's top
+    # line item (36% of step time was separate stat reduces re-reading
+    # activations from HBM).
+    stat_fusion = os.environ.get("BENCH_STATS") or None
     model = SimCLRModule(arch=arch, axis_name=None, norm_kind=norm_kind,
-                         dtype=jnp.bfloat16)
+                         dtype=jnp.bfloat16, stat_fusion=stat_fusion)
     global_batch = batch_per_chip * (mesh.shape[DATA_AXIS] if mesh else 1)
     sched = schedule.simclr_learning_rate(0.01, global_batch, 1_281_167,
                                           batch_per_chip, 10, 190)
@@ -610,6 +615,10 @@ def main():
         rates, median = _window_rates(window_dts, views, n_dev)
         record["windows_img_s_chip"] = [round(r, 2) for r in rates]
         record["median_img_s_chip"] = round(median, 2)
+    if norm_kind != "bn" or stat_fusion:
+        # label non-default normalization variants so the artifact can't be
+        # mistaken for the flagship configuration
+        record["norm"] = {"kind": norm_kind, "stat_fusion": stat_fusion}
     print(json.dumps(record))
     if os.environ.get("BENCH_VERBOSE"):
         print(f"# devices={n_dev} global_batch={global_batch} "

@@ -25,6 +25,7 @@ from typing import Any, Callable, Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
+from multimodal_active_ai_tpu.models.conv_bn import FusedConv1x1BN
 from multimodal_active_ai_tpu.models.norm import make_norm
 
 # kaiming_normal(mode=fan_out) — reference init, resnet.py:184-189
@@ -72,29 +73,47 @@ class Bottleneck(nn.Module):
     norm: Callable[..., nn.Module] = None
     dtype: Any = jnp.float32
     expansion: int = 4
+    # 'pallas' | 'gram': produce the 1x1 convs' BN statistics with the conv
+    # itself (models/conv_bn.py) instead of XLA's separate reduce pass over
+    # the activation — the round-3 profile's top line item (PERF.md). The
+    # 3x3 conv keeps the injected norm layer.
+    stat_fusion: str | None = None
 
     @nn.compact
     def __call__(self, x, train: bool):
         norm = functools.partial(self.norm, use_running_average=not train)
         width = int(self.planes * (self.base_width / 64.0)) * self.groups
+        fused = functools.partial(FusedConv1x1BN, impl=self.stat_fusion,
+                                  dtype=self.dtype) if self.stat_fusion \
+            else None
         identity = x
-        out = nn.Conv(width, (1, 1), use_bias=False, kernel_init=conv_init,
-                      dtype=self.dtype)(x)
-        out = norm()(out)
+        if fused:
+            out = fused(width)(x, train)
+        else:
+            out = nn.Conv(width, (1, 1), use_bias=False, kernel_init=conv_init,
+                          dtype=self.dtype)(x)
+            out = norm()(out)
         out = nn.relu(out)
         out = nn.Conv(width, (3, 3), strides=self.stride, padding=1,
                       feature_group_count=self.groups, use_bias=False,
                       kernel_init=conv_init, dtype=self.dtype)(out)
         out = norm()(out)
         out = nn.relu(out)
-        out = nn.Conv(self.planes * self.expansion, (1, 1), use_bias=False,
-                      kernel_init=conv_init, dtype=self.dtype)(out)
-        out = norm()(out)
+        if fused:
+            out = fused(self.planes * self.expansion)(out, train)
+        else:
+            out = nn.Conv(self.planes * self.expansion, (1, 1), use_bias=False,
+                          kernel_init=conv_init, dtype=self.dtype)(out)
+            out = norm()(out)
         if self.downsample:
-            identity = nn.Conv(self.planes * self.expansion, (1, 1),
-                               strides=self.stride, use_bias=False,
-                               kernel_init=conv_init, dtype=self.dtype)(x)
-            identity = norm()(identity)
+            if fused:
+                identity = fused(self.planes * self.expansion,
+                                 stride=self.stride)(x, train)
+            else:
+                identity = nn.Conv(self.planes * self.expansion, (1, 1),
+                                   strides=self.stride, use_bias=False,
+                                   kernel_init=conv_init, dtype=self.dtype)(x)
+                identity = norm()(identity)
         return nn.relu(out + identity)
 
 
@@ -113,9 +132,15 @@ class ResNet(nn.Module):
     norm_kind: str = "sync_bn"
     axis_name: str | None = "data"
     dtype: Any = jnp.float32
+    stat_fusion: str | None = None    # 'pallas' | 'gram' (Bottleneck only)
 
     @nn.compact
     def __call__(self, x, train: bool = True):
+        if self.stat_fusion and self.norm_kind not in ("bn", "sync_bn",
+                                                       "bn_fused"):
+            raise ValueError(
+                f"stat_fusion embeds BatchNorm semantics; incompatible with "
+                f"norm_kind={self.norm_kind!r}")
         norm = make_norm(self.norm_kind, axis_name=self.axis_name, dtype=self.dtype)
         x = x.astype(self.dtype)
         # stem: 7x7 stride-1 conv on 12 channels, no max-pool (resnet.py:169,231)
@@ -134,7 +159,8 @@ class ResNet(nn.Module):
                               norm=norm, dtype=self.dtype,
                               name=f"layer{stage + 1}_{b}")
                 if self.block is Bottleneck:
-                    kwargs.update(groups=self.groups, base_width=self.width_per_group)
+                    kwargs.update(groups=self.groups, base_width=self.width_per_group,
+                                  stat_fusion=self.stat_fusion)
                 x = self.block(**kwargs)(x, train=train)
                 inplanes = planes * self.block.expansion
         return x

@@ -29,10 +29,12 @@ class SimCLRModule(nn.Module):
     norm_kind: str = "sync_bn"
     axis_name: str | None = "data"
     dtype: Any = jnp.float32
+    stat_fusion: str | None = None   # conv+BN-stat fusion, models/conv_bn.py
 
     def setup(self):
         self.f = build_encoder(self.arch, norm_kind=self.norm_kind,
-                               axis_name=self.axis_name, dtype=self.dtype)
+                               axis_name=self.axis_name, dtype=self.dtype,
+                               stat_fusion=self.stat_fusion)
         self.g = MLP(self.projection_hidden, self.projection_dim, dtype=self.dtype)
 
     def __call__(self, glimpses, train: bool = True):

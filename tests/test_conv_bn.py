@@ -1,0 +1,245 @@
+"""Fused 1x1-conv + BN-statistics production vs the unfused conv->BN graph
+(Pallas kernel in interpret mode on CPU; the gram form is plain jnp)."""
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multimodal_active_ai_tpu.models.conv_bn import FusedConv1x1BN
+from multimodal_active_ai_tpu.ops import pallas_conv_bn
+
+
+def _oracle(x, w):
+    y = x @ w
+    return y, jnp.sum(y, 0), jnp.sum(y * y, 0)
+
+
+@pytest.mark.parametrize("impl", ["pallas", "gram"])
+def test_stats_match_oracle(impl):
+    r = np.random.RandomState(0)
+    for m, k, n in ((64, 16, 64), (96, 24, 40), (256, 64, 256)):
+        x = jnp.asarray(r.uniform(-1, 1, (m, k)).astype(np.float32))
+        w = jnp.asarray(r.uniform(-1, 1, (k, n)).astype(np.float32))
+        if impl == "pallas":
+            y, s, sq = pallas_conv_bn.conv1x1_stats(x, w, True)
+        else:
+            y, s, sq = pallas_conv_bn.gram_stats(x, w)
+        yr, sr, sqr = _oracle(x, w)
+        np.testing.assert_allclose(y, yr, rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(s, sr, rtol=1e-4, atol=1e-3)
+        np.testing.assert_allclose(sq, sqr, rtol=1e-4, atol=1e-3)
+
+
+@pytest.mark.parametrize("impl", ["pallas", "gram"])
+def test_stats_gradients_match_unfused(impl):
+    r = np.random.RandomState(1)
+    x = jnp.asarray(r.uniform(-1, 1, (48, 16)).astype(np.float32))
+    w = jnp.asarray(r.uniform(-1, 1, (16, 32)).astype(np.float32))
+    ty = jnp.asarray(r.uniform(-1, 1, (48, 32)).astype(np.float32))
+    ts = jnp.asarray(r.uniform(-1, 1, (32,)).astype(np.float32))
+
+    def loss_fused(x, w):
+        if impl == "pallas":
+            y, s, sq = pallas_conv_bn.conv1x1_stats(x, w, True)
+        else:
+            y, s, sq = pallas_conv_bn.gram_stats(x, w)
+        return jnp.sum(y * ty) + jnp.sum(s * ts) + 0.5 * jnp.sum(sq * ts)
+
+    def loss_ref(x, w):
+        y, s, sq = _oracle(x, w)
+        return jnp.sum(y * ty) + jnp.sum(s * ts) + 0.5 * jnp.sum(sq * ts)
+
+    gx, gw = jax.grad(loss_fused, (0, 1))(x, w)
+    rx, rw = jax.grad(loss_ref, (0, 1))(x, w)
+    np.testing.assert_allclose(gx, rx, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(gw, rw, rtol=1e-4, atol=1e-4)
+
+
+class _UnfusedPair(nn.Module):
+    features: int
+    stride: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        y = nn.Conv(self.features, (1, 1), strides=self.stride,
+                    use_bias=False)(x)
+        return nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                            epsilon=1e-5)(y)
+
+
+def _tie_params(fused_params, pair_params):
+    """Copy the unfused pair's weights into the fused module's tree."""
+    return {"kernel": pair_params["Conv_0"]["kernel"],
+            "scale": pair_params["BatchNorm_0"]["scale"],
+            "bias": pair_params["BatchNorm_0"]["bias"]}
+
+
+@pytest.mark.parametrize("impl", ["pallas", "gram"])
+@pytest.mark.parametrize("stride", [1, 2])
+def test_module_matches_conv_bn_pair(impl, stride):
+    r = np.random.RandomState(2)
+    x = jnp.asarray(r.uniform(-2, 2, (4, 8, 8, 12)).astype(np.float32))
+    pair = _UnfusedPair(features=24, stride=stride)
+    fused = FusedConv1x1BN(features=24, stride=stride, impl=impl)
+    pv = pair.init(jax.random.PRNGKey(0), x, train=True)
+    fv = fused.init(jax.random.PRNGKey(0), x, train=True)
+    fparams = _tie_params(fv["params"], pv["params"])
+
+    yr, mr = pair.apply({"params": pv["params"],
+                         "batch_stats": pv["batch_stats"]}, x, train=True,
+                        mutable=["batch_stats"])
+    yf, mf = fused.apply({"params": fparams,
+                          "batch_stats": fv["batch_stats"]}, x, train=True,
+                         mutable=["batch_stats"])
+    np.testing.assert_allclose(yf, yr, rtol=1e-4, atol=1e-4)
+    # running stats update identically
+    np.testing.assert_allclose(mf["batch_stats"]["mean"],
+                               mr["batch_stats"]["BatchNorm_0"]["mean"],
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(mf["batch_stats"]["var"],
+                               mr["batch_stats"]["BatchNorm_0"]["var"],
+                               rtol=1e-4, atol=1e-5)
+
+    # eval mode normalizes with running stats
+    ye_r = pair.apply({"params": pv["params"],
+                       "batch_stats": mr["batch_stats"]}, x, train=False)
+    ye_f = fused.apply({"params": fparams,
+                        "batch_stats": mf["batch_stats"]}, x, train=False)
+    np.testing.assert_allclose(ye_f, ye_r, rtol=1e-4, atol=1e-4)
+
+    # gradients through the train-mode graph
+    t = jnp.asarray(r.uniform(-1, 1, np.asarray(yr).shape).astype(np.float32))
+
+    def loss_pair(p):
+        y = pair.apply({"params": p, "batch_stats": pv["batch_stats"]}, x,
+                       train=True, mutable=["batch_stats"])[0]
+        return jnp.mean((y - t) ** 2)
+
+    def loss_fused(p):
+        y = fused.apply({"params": p, "batch_stats": fv["batch_stats"]}, x,
+                        train=True, mutable=["batch_stats"])[0]
+        return jnp.mean((y - t) ** 2)
+
+    gr = jax.grad(loss_pair)(pv["params"])
+    gf = jax.grad(loss_fused)(fparams)
+    np.testing.assert_allclose(gf["kernel"], gr["Conv_0"]["kernel"],
+                               rtol=1e-3, atol=1e-5)
+    np.testing.assert_allclose(gf["scale"], gr["BatchNorm_0"]["scale"],
+                               rtol=1e-3, atol=1e-5)
+    np.testing.assert_allclose(gf["bias"], gr["BatchNorm_0"]["bias"],
+                               rtol=1e-3, atol=1e-5)
+
+    def loss_pair_x(xi):
+        y = pair.apply({"params": pv["params"],
+                        "batch_stats": pv["batch_stats"]}, xi, train=True,
+                       mutable=["batch_stats"])[0]
+        return jnp.mean(jnp.sin(y) * t)
+
+    def loss_fused_x(xi):
+        y = fused.apply({"params": fparams,
+                         "batch_stats": fv["batch_stats"]}, xi, train=True,
+                        mutable=["batch_stats"])[0]
+        return jnp.mean(jnp.sin(y) * t)
+
+    np.testing.assert_allclose(jax.grad(loss_fused_x)(x),
+                               jax.grad(loss_pair_x)(x), rtol=1e-3, atol=1e-5)
+
+
+@pytest.mark.parametrize("impl", ["gram"])
+def test_bottleneck_block_parity_tied_params(impl):
+    """A full Bottleneck (incl. downsample) with stat_fusion matches the
+    unfused block exactly when the weights are tied across the two trees."""
+    from multimodal_active_ai_tpu.models.norm import make_norm
+    from multimodal_active_ai_tpu.models.resnet import Bottleneck
+
+    r = np.random.RandomState(3)
+    x = jnp.asarray(r.uniform(-1, 1, (2, 8, 8, 16)).astype(np.float32))
+    norm = make_norm("bn", axis_name=None)
+    mk = lambda fusion: Bottleneck(planes=8, stride=2, downsample=True,
+                                   norm=norm, stat_fusion=fusion)
+    uv = mk(None).init(jax.random.PRNGKey(0), x, train=True)
+    fv = mk(impl).init(jax.random.PRNGKey(0), x, train=True)
+
+    up, us = uv["params"], uv["batch_stats"]
+    fp = {
+        "FusedConv1x1BN_0": {"kernel": up["Conv_0"]["kernel"],
+                             "scale": up["BatchNorm_0"]["scale"],
+                             "bias": up["BatchNorm_0"]["bias"]},
+        "Conv_0": up["Conv_1"],
+        "BatchNorm_0": up["BatchNorm_1"],
+        "FusedConv1x1BN_1": {"kernel": up["Conv_2"]["kernel"],
+                             "scale": up["BatchNorm_2"]["scale"],
+                             "bias": up["BatchNorm_2"]["bias"]},
+        "FusedConv1x1BN_2": {"kernel": up["Conv_3"]["kernel"],
+                             "scale": up["BatchNorm_3"]["scale"],
+                             "bias": up["BatchNorm_3"]["bias"]},
+    }
+    fs = {
+        "FusedConv1x1BN_0": us["BatchNorm_0"],
+        "BatchNorm_0": us["BatchNorm_1"],
+        "FusedConv1x1BN_1": us["BatchNorm_2"],
+        "FusedConv1x1BN_2": us["BatchNorm_3"],
+    }
+    assert jax.tree_util.tree_structure(fv["params"]) \
+        == jax.tree_util.tree_structure(fp)
+
+    yu, mu = mk(None).apply(uv, x, train=True, mutable=["batch_stats"])
+    yf, mf = mk(impl).apply({"params": fp, "batch_stats": fs}, x, train=True,
+                            mutable=["batch_stats"])
+    np.testing.assert_allclose(yf, yu, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(
+        mf["batch_stats"]["FusedConv1x1BN_2"]["mean"],
+        mu["batch_stats"]["BatchNorm_3"]["mean"], rtol=1e-4, atol=1e-5)
+
+    # gradient parity on the tied trees
+    t = jnp.asarray(r.uniform(-1, 1, np.asarray(yu).shape).astype(np.float32))
+
+    def loss(mod, variables):
+        y = mod.apply(variables, x, train=True, mutable=["batch_stats"])[0]
+        return jnp.mean((y - t) ** 2)
+
+    gu = jax.grad(lambda p: loss(mk(None), {"params": p,
+                                            "batch_stats": us}))(up)
+    gf = jax.grad(lambda p: loss(mk(impl), {"params": p,
+                                            "batch_stats": fs}))(fp)
+    np.testing.assert_allclose(gf["FusedConv1x1BN_1"]["kernel"],
+                               gu["Conv_2"]["kernel"], rtol=1e-3, atol=1e-5)
+    np.testing.assert_allclose(gf["Conv_0"]["kernel"],
+                               gu["Conv_1"]["kernel"], rtol=1e-3, atol=1e-5)
+
+
+def test_resnet50_step_runs_with_gram_fusion():
+    """stat_fusion threads through the ResNet-50 SimCLR train step (the
+    gram form is plain jnp, so this runs compiled on CPU) and yields a
+    finite loss + finite grads-applied state."""
+    from multimodal_active_ai_tpu.models import SimCLRModule
+    from multimodal_active_ai_tpu.ops import retina
+    from multimodal_active_ai_tpu.train import optimizers, simclr_train
+
+    cfg = retina.RetinaConfig(canvas_size=64, crop_sizes=(40, 24, 10, 30),
+                              supersample=2)
+    rng = jax.random.PRNGKey(0)
+    images = jax.random.randint(rng, (2, 64, 64, 3), 0, 256,
+                                dtype=jnp.int32).astype(jnp.uint8)
+    model = SimCLRModule(arch="ResNet50", axis_name=None, norm_kind="bn",
+                         stat_fusion="gram")
+    tx = optimizers.get_optimizer("adam", lambda t: 1e-3)
+    state = simclr_train.create_train_state(
+        model, tx, rng, jnp.ones((2, 30, 30, 12)))
+    step = simclr_train.make_train_step(model, None, cfg,
+                                        num_fixations=1, temperature=0.5)
+    new_state, m = step(state, images, jax.random.PRNGKey(7))
+    assert np.isfinite(float(jax.device_get(m["losses"])[-1]))
+    leaf = jax.tree_util.tree_leaves(new_state.params)[0]
+    assert np.all(np.isfinite(jax.device_get(leaf)))
+
+
+def test_stat_fusion_rejects_incompatible_norms():
+    from multimodal_active_ai_tpu.models.resnet import build_encoder
+
+    enc = build_encoder("ResNet50", norm_kind="frozen", axis_name=None,
+                        stat_fusion="gram")
+    with pytest.raises(ValueError, match="stat_fusion"):
+        enc.init(jax.random.PRNGKey(0), jnp.ones((1, 30, 30, 12)), train=True)
