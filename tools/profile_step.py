@@ -31,14 +31,23 @@ def run(steps: int, batch: int, fixations: int, canvas: int, arch: str):
     cfg = retina.RetinaConfig(canvas_size=canvas) if canvas >= 640 else \
         retina.RetinaConfig(canvas_size=canvas, crop_sizes=(40, 24, 10, 30),
                             supersample=2)
-    model = SimCLRModule(arch=arch, axis_name=None, norm_kind="bn",
-                         dtype=jnp.bfloat16)
+    # honor the bench's variant knobs so profiles compare apples-to-apples
+    norm_kind = os.environ.get("BENCH_NORM", "bn")
+    stat_fusion = os.environ.get("BENCH_STATS") or None
+    model = SimCLRModule(arch=arch, axis_name=None, norm_kind=norm_kind,
+                         dtype=jnp.bfloat16, stat_fusion=stat_fusion)
     sched = schedule.simclr_learning_rate(0.01, batch, 1_281_167, batch, 10, 190)
     tx = optimizers.get_optimizer("adam", sched)
     rng = jax.random.PRNGKey(0)
     sample = jnp.ones((2, cfg.glimpse_size, cfg.glimpse_size, cfg.num_channels))
     state = simclr_train.create_train_state(model, tx, rng, sample)
-    step = simclr_train.make_train_step(model, None, cfg, fixations, 0.05)
+    unroll_env = os.environ.get("BENCH_UNROLL", "")
+    unroll = (None if not unroll_env or unroll_env == "scan" else
+              True if unroll_env in ("full", "true") else int(unroll_env))
+    if unroll_env == "scan":
+        unroll = False
+    step = simclr_train.make_train_step(model, None, cfg, fixations, 0.05,
+                                        unroll=unroll)
 
     images = jax.random.randint(rng, (batch, canvas, canvas, 3), 0, 256,
                                 dtype=jnp.int32).astype(jnp.uint8)
