@@ -90,3 +90,101 @@ class FusedConv1x1BN(nn.Module):
             ra_mean.value = mom * ra_mean.value + (1 - mom) * mean
             ra_var.value = mom * ra_var.value + (1 - mom) * var
         return mean, var
+
+
+# ---------------------------------------------------------------------------
+# Checkpoint-layout conversion. A Bottleneck with stat_fusion folds its three
+# Conv(1x1)+BatchNorm pairs into FusedConv1x1BN modules, which renames the
+# flax auto-named entries. These converters map the variable collections both
+# ways so fused models interoperate with the standard checkpoint contract
+# (incl. the reference .pth.tar import/export in utils/checkpoint.py, which
+# speaks the unfused layout).
+#
+# Unfused block:  Conv_0 BN_0 | Conv_1 BN_1 | Conv_2 BN_2 [| Conv_3 BN_3]
+# Fused block:    Fused_0     | Conv_0 BN_0 | Fused_1     [| Fused_2]
+# ---------------------------------------------------------------------------
+
+_F = "FusedConv1x1BN_{}"
+_C, _B = "Conv_{}", "BatchNorm_{}"
+
+
+def _is_unfused_bottleneck(d: dict) -> bool:
+    return isinstance(d, dict) and "Conv_2" in d and "Conv_0" in d
+
+
+def _is_fused_bottleneck(d: dict) -> bool:
+    return isinstance(d, dict) and _F.format(0) in d
+
+
+def _fuse_block(params: dict, stats: dict):
+    down = _C.format(3) in params or _B.format(3) in stats
+    fp = {_F.format(0): {"kernel": params[_C.format(0)]["kernel"],
+                         **params[_B.format(0)]},
+          _C.format(0): params[_C.format(1)],
+          _B.format(0): params[_B.format(1)],
+          _F.format(1): {"kernel": params[_C.format(2)]["kernel"],
+                         **params[_B.format(2)]}}
+    fs = {_F.format(0): stats[_B.format(0)],
+          _B.format(0): stats[_B.format(1)],
+          _F.format(1): stats[_B.format(2)]}
+    if down:
+        fp[_F.format(2)] = {"kernel": params[_C.format(3)]["kernel"],
+                            **params[_B.format(3)]}
+        fs[_F.format(2)] = stats[_B.format(3)]
+    return fp, fs
+
+
+def _unfuse_block(params: dict, stats: dict):
+    def split(f):
+        return ({"kernel": f["kernel"]},
+                {"scale": f["scale"], "bias": f["bias"]})
+
+    c0, b0 = split(params[_F.format(0)])
+    c2, b2 = split(params[_F.format(1)])
+    up = {_C.format(0): c0, _B.format(0): b0,
+          _C.format(1): params[_C.format(0)],
+          _B.format(1): params[_B.format(0)],
+          _C.format(2): c2, _B.format(2): b2}
+    us = {_B.format(0): stats[_F.format(0)],
+          _B.format(1): stats[_B.format(0)],
+          _B.format(2): stats[_F.format(1)]}
+    if _F.format(2) in params:
+        c3, b3 = split(params[_F.format(2)])
+        up[_C.format(3)] = c3
+        up[_B.format(3)] = b3
+        us[_B.format(3)] = stats[_F.format(2)]
+    return up, us
+
+
+def convert_stat_fusion_variables(variables: dict, to_fused: bool) -> dict:
+    """Map ``{'params', 'batch_stats'}`` between the unfused
+    (``Conv->BatchNorm``) and fused (``FusedConv1x1BN``) Bottleneck layouts.
+    Non-bottleneck entries (stem, BasicBlock nets, projector/probe heads)
+    pass through untouched."""
+    probe = _is_unfused_bottleneck if to_fused else _is_fused_bottleneck
+    conv = _fuse_block if to_fused else _unfuse_block
+
+    def walk(params, stats):
+        out_p, out_s = {}, {}
+        for k, v in params.items():
+            if probe(v):
+                out_p[k], out_s[k] = conv(v, stats.get(k, {}))
+            elif isinstance(v, dict):
+                out_p[k], out_s[k] = walk(v, stats.get(k, {}))
+            else:
+                out_p[k] = v
+        # batch_stats entries with no params sibling (e.g. frozen BN buffers)
+        for k, v in stats.items():
+            if k not in out_s and k not in out_p:
+                out_s[k] = v
+            elif k not in out_s and not isinstance(v, dict):
+                out_s[k] = v
+        out_s = {k: v for k, v in out_s.items()
+                 if not (isinstance(v, dict) and not v)}
+        return out_p, out_s
+
+    p, s = walk(variables.get("params", {}), variables.get("batch_stats", {}))
+    out = dict(variables)
+    out["params"] = p
+    out["batch_stats"] = s
+    return out

@@ -243,3 +243,48 @@ def test_stat_fusion_rejects_incompatible_norms():
                         stat_fusion="gram")
     with pytest.raises(ValueError, match="stat_fusion"):
         enc.init(jax.random.PRNGKey(0), jnp.ones((1, 30, 30, 12)), train=True)
+
+
+def test_convert_stat_fusion_variables_roundtrip_and_forward():
+    """Unfused ResNet-50 variables convert to the fused layout (and back,
+    losslessly); the fused model under converted variables reproduces the
+    unfused model's outputs in both eval and train mode."""
+    from multimodal_active_ai_tpu.models.conv_bn import (
+        convert_stat_fusion_variables)
+    from multimodal_active_ai_tpu.models.resnet import build_encoder
+
+    r = np.random.RandomState(5)
+    x = jnp.asarray(r.uniform(-1, 1, (2, 30, 30, 12)).astype(np.float32))
+    unfused = build_encoder("ResNet50", norm_kind="bn", axis_name=None)
+    fused = build_encoder("ResNet50", norm_kind="bn", axis_name=None,
+                          stat_fusion="gram")
+    uv = unfused.init(jax.random.PRNGKey(0), x, train=True)
+    fv_ref = fused.init(jax.random.PRNGKey(0), x, train=True)
+
+    fv = convert_stat_fusion_variables(uv, to_fused=True)
+    assert jax.tree_util.tree_structure(fv) \
+        == jax.tree_util.tree_structure(dict(fv_ref))
+
+    # lossless round trip
+    back = convert_stat_fusion_variables(fv, to_fused=False)
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(a, b),
+                 back, dict(uv))
+
+    # eval-mode forward parity (running stats). Tolerances absorb ~50
+    # layers of f32 accumulation-order drift (conv_general vs dot) while
+    # still failing loudly on any mis-mapped weight.
+    ye_u = unfused.apply(uv, x, train=False)
+    ye_f = fused.apply(fv, x, train=False)
+    np.testing.assert_allclose(ye_f, ye_u, rtol=5e-3, atol=5e-3)
+
+    # train-mode forward parity (batch stats; gram form, compiled jnp)
+    yt_u, mu = unfused.apply(uv, x, train=True, mutable=["batch_stats"])
+    yt_f, mf = fused.apply(fv, x, train=True, mutable=["batch_stats"])
+    np.testing.assert_allclose(yt_f, yt_u, rtol=1e-2, atol=1e-2)
+    # updated running stats convert back to the unfused layout losslessly
+    mb = convert_stat_fusion_variables(
+        {"params": fv["params"], "batch_stats": mf["batch_stats"]},
+        to_fused=False)["batch_stats"]
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-2,
+                                                         atol=1e-3),
+                 mb, dict(mu["batch_stats"]))
