@@ -35,6 +35,10 @@ from multimodal_active_ai_tpu.data import (
 )
 from multimodal_active_ai_tpu.data.prefetch import device_prefetch
 from multimodal_active_ai_tpu.models import SimCLRModule
+from multimodal_active_ai_tpu.models.conv_bn import (
+    convert_stat_fusion_variables,
+    is_fused_layout,
+)
 from multimodal_active_ai_tpu.ops import retina
 from multimodal_active_ai_tpu.parallel.mesh import (
     DATA_AXIS,
@@ -115,9 +119,13 @@ def main(argv=None):
         saturation=cfg.saturation)
 
     dtype = jnp.bfloat16 if cfg.bf16 else jnp.float32
-    # plain BatchNorm under GSPMD = global-batch stats = SyncBN semantics
+    # plain BatchNorm under GSPMD = global-batch stats = SyncBN semantics.
+    # --stat-fusion folds the 1x1 convs' BN-statistic production into the
+    # convs themselves (models/conv_bn.py; checkpoints use the fused layout,
+    # downstream loaders auto-convert).
     model = SimCLRModule(arch=cfg.arch, axis_name=None,
-                         norm_kind="bn", dtype=dtype)
+                         norm_kind="bn", dtype=dtype,
+                         stat_fusion=cfg.stat_fusion or None)
 
     # readers (pipe1 = train, pipe3 = val); this process loads its share of
     # the global batch every step (its contiguous catalog shard)
@@ -166,11 +174,26 @@ def main(argv=None):
         if os.path.isfile(cfg.resume):
             print(f"=> loading checkpoint '{cfg.resume}'")
             payload = ckpt.load_checkpoint(cfg.resume)
+            sd = payload["state_dict"]
+            want_fused = bool(cfg.stat_fusion)
+            if is_fused_layout(sd["params"]) != want_fused:
+                # cross-layout resume: weights/stats convert losslessly;
+                # the optimizer moments' tree is layout-shaped, so exact
+                # optimizer resume is only possible within one layout
+                print("=> checkpoint layout differs from --stat-fusion; "
+                      "converting weights (optimizer state starts fresh)")
+                sd = convert_stat_fusion_variables(
+                    {"params": sd["params"],
+                     "batch_stats": sd["batch_stats"]}, to_fused=want_fused)
+                opt_state = state.opt_state
+            else:
+                opt_state = ckpt.restore_like(state.opt_state,
+                                              payload["optimizer"])
             state = state.replace(
-                params=ckpt.restore_like(state.params, payload["state_dict"]["params"]),
+                params=ckpt.restore_like(state.params, sd["params"]),
                 batch_stats=ckpt.restore_like(state.batch_stats,
-                                              payload["state_dict"]["batch_stats"]),
-                opt_state=ckpt.restore_like(state.opt_state, payload["optimizer"]),
+                                              sd["batch_stats"]),
+                opt_state=opt_state,
                 step=int(payload["step"]))
             start_epoch = int(payload["epoch"])
             best_prec1 = float(payload["best_prec1"])
@@ -289,8 +312,13 @@ def main(argv=None):
         # the export half of the checkpoint contract: a model pretrained
         # here becomes consumable by the reference stack
         # (Representation_Evaluation.py:405-422 loads this layout)
+        ex = {"params": jax.device_get(state.params),
+              "batch_stats": jax.device_get(state.batch_stats)}
+        if cfg.stat_fusion:
+            # the torch contract speaks the unfused layout
+            ex = convert_stat_fusion_variables(ex, to_fused=False)
         sd = ckpt.export_torch_simclr_state_dict(
-            jax.device_get(state.params), jax.device_get(state.batch_stats))
+            ex["params"], ex["batch_stats"])
         ckpt.save_torch_checkpoint(
             sd, cfg.export_torch, epoch=epoch + 1, best_prec1=best_prec1,
             extra={"loss_history": [float(x) for x in loss_history],

@@ -66,8 +66,19 @@ def load_backbone_into_detr(variables, backbone_path):
         stats["backbone_f"] = _bn_to_frozen_layout(f_params["f"], f_stats["f"], sd)
     else:
         payload = ckpt.load_checkpoint(backbone_path)
-        src_params = payload["state_dict"]["params"]["f"]
-        src_stats = payload["state_dict"]["batch_stats"]["f"]
+        sd = payload["state_dict"]
+        from multimodal_active_ai_tpu.models.conv_bn import (
+            convert_stat_fusion_variables, is_fused_layout)
+
+        if is_fused_layout(sd["params"]):
+            # --stat-fusion checkpoints carry the fused Bottleneck layout;
+            # the FrozenBatchNorm backbone speaks the unfused one
+            print("=> converting checkpoint stat-fusion layout")
+            sd = convert_stat_fusion_variables(
+                {"params": sd["params"],
+                 "batch_stats": sd["batch_stats"]}, to_fused=False)
+        src_params = sd["params"]["f"]
+        src_stats = sd["batch_stats"]["f"]
         params["backbone_f"] = ckpt.restore_like(params["backbone_f"], src_params)
         stats["backbone_f"] = _merge_bn_into_frozen(
             stats["backbone_f"], src_params, src_stats)

@@ -83,6 +83,14 @@ class ContrastiveConfig:
                                  help="host->device transfers issued ahead "
                                       "of the step (0 = synchronous put; "
                                       "DALI prefetch_queue_depth role)")
+    stat_fusion: str = _flag("--stat-fusion", default="",
+                             choices=["", "gram", "pallas"],
+                             help="produce the 1x1 convs' BN statistics "
+                                  "with the conv itself (models/conv_bn.py)"
+                                  "; 'gram' is GSPMD-safe, 'pallas' is "
+                                  "single-device. Checkpoints use the "
+                                  "fused layout; downstream loaders "
+                                  "auto-convert")
 
 
 @dataclass

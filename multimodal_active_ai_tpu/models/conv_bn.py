@@ -156,6 +156,15 @@ def _unfuse_block(params: dict, stats: dict):
     return up, us
 
 
+def is_fused_layout(params) -> bool:
+    """True if any subtree of ``params`` uses the FusedConv1x1BN layout
+    (used by checkpoint consumers to auto-convert on load)."""
+    if not isinstance(params, dict):
+        return False
+    return any(k.startswith("FusedConv1x1BN") or is_fused_layout(v)
+               for k, v in params.items())
+
+
 def convert_stat_fusion_variables(variables: dict, to_fused: bool) -> dict:
     """Map ``{'params', 'batch_stats'}`` between the unfused
     (``Conv->BatchNorm``) and fused (``FusedConv1x1BN``) Bottleneck layouts.

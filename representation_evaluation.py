@@ -59,10 +59,21 @@ def load_pretrained_encoder(model, cfg, rng, glimpse_sample):
             path, variables["params"], variables["batch_stats"])
     else:
         payload = ckpt.load_checkpoint(path)
-        params = ckpt.restore_like(variables["params"],
-                                   payload["state_dict"]["params"])
+        sd = payload["state_dict"]
+        from multimodal_active_ai_tpu.models.conv_bn import (
+            convert_stat_fusion_variables, is_fused_layout)
+
+        want = is_fused_layout(variables["params"])
+        if is_fused_layout(sd["params"]) != want:
+            # checkpoints trained with --stat-fusion carry the fused
+            # Bottleneck layout; convert to this model's layout on load
+            print("=> converting checkpoint stat-fusion layout")
+            sd = convert_stat_fusion_variables(
+                {"params": sd["params"],
+                 "batch_stats": sd["batch_stats"]}, to_fused=want)
+        params = ckpt.restore_like(variables["params"], sd["params"])
         batch_stats = ckpt.restore_like(variables["batch_stats"],
-                                        payload["state_dict"]["batch_stats"])
+                                        sd["batch_stats"])
     print(f"=> loaded pretrained model '{path}'")
     return {"params": params, "batch_stats": batch_stats}
 
