@@ -288,3 +288,32 @@ def test_convert_stat_fusion_variables_roundtrip_and_forward():
     jax.tree.map(lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-2,
                                                          atol=1e-3),
                  mb, dict(mu["batch_stats"]))
+
+
+def test_gram_fusion_global_batch_stats_on_mesh(mesh2, rng):
+    """The GSPMD-safety claim: with the batch sharded over a 2-device mesh,
+    the gram form's statistics are still GLOBAL-batch statistics (SyncBN
+    semantics) — outputs and running-stat updates match the single-device
+    run of the identical program to float tolerance."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mod = FusedConv1x1BN(features=24, impl="gram")
+    r = np.random.RandomState(7)
+    x = jnp.asarray(r.uniform(-2, 2, (8, 6, 6, 12)).astype(np.float32))
+    v = mod.init(jax.random.PRNGKey(0), x, train=True)
+
+    @jax.jit
+    def f(v, x):
+        return mod.apply(v, x, train=True, mutable=["batch_stats"])
+
+    y1, m1 = f(v, x)
+    xs = jax.device_put(x, NamedSharding(mesh2, P("data")))
+    y2, m2 = f(v, xs)
+    np.testing.assert_allclose(jax.device_get(y2), jax.device_get(y1),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(jax.device_get(m2["batch_stats"]["mean"]),
+                               jax.device_get(m1["batch_stats"]["mean"]),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(jax.device_get(m2["batch_stats"]["var"]),
+                               jax.device_get(m1["batch_stats"]["var"]),
+                               rtol=1e-5, atol=1e-6)
