@@ -478,6 +478,9 @@ def main():
     # line item (36% of step time was separate stat reduces re-reading
     # activations from HBM).
     stat_fusion = os.environ.get("BENCH_STATS") or None
+    if stat_fusion == "pallas" and n_dev > 1:
+        raise SystemExit("BENCH_STATS=pallas is single-device only "
+                         "(unpartitioned pallas_call); use BENCH_STATS=gram")
     model = SimCLRModule(arch=arch, axis_name=None, norm_kind=norm_kind,
                          dtype=jnp.bfloat16, stat_fusion=stat_fusion)
     global_batch = batch_per_chip * (mesh.shape[DATA_AXIS] if mesh else 1)
@@ -494,12 +497,8 @@ def main():
     # img/s/chip measured), an int n = lax.scan(unroll=n), "scan" = plain
     # scan. TPU default is unroll=5 (best measured: 8,767 best / 8,619
     # median vs 8,500/8,479 plain scan; compile is longer but one-time).
-    unroll_env = os.environ.get("BENCH_UNROLL",
-                                "5" if on_tpu else "")
-    unroll = (None if not unroll_env or unroll_env == "scan" else
-              True if unroll_env in ("full", "true") else int(unroll_env))
-    if unroll_env == "scan":
-        unroll = False
+    unroll = simclr_train.unroll_from_env(os.environ.get("BENCH_UNROLL"),
+                                          on_tpu)
     step = simclr_train.make_train_step(model, mesh, cfg, num_fixations, 0.05,
                                         donate=donate, unroll=unroll)
 

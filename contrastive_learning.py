@@ -123,6 +123,11 @@ def main(argv=None):
     # --stat-fusion folds the 1x1 convs' BN-statistic production into the
     # convs themselves (models/conv_bn.py; checkpoints use the fused layout,
     # downstream loaders auto-convert).
+    if cfg.stat_fusion == "pallas" and jax.device_count() > 1:
+        # same policy as the retina's use_pallas gate (ops/retina.py:406):
+        # a pallas_call inside a GSPMD-sharded program is not partitioned
+        raise SystemExit("--stat-fusion pallas is single-device only; "
+                         "use --stat-fusion gram on multi-device meshes")
     model = SimCLRModule(arch=cfg.arch, axis_name=None,
                          norm_kind="bn", dtype=dtype,
                          stat_fusion=cfg.stat_fusion or None)
@@ -175,7 +180,9 @@ def main(argv=None):
             print(f"=> loading checkpoint '{cfg.resume}'")
             payload = ckpt.load_checkpoint(cfg.resume)
             sd = payload["state_dict"]
-            want_fused = bool(cfg.stat_fusion)
+            # key off the model's ACTUAL layout, not the flag: BasicBlock
+            # archs (R18/34) ignore stat_fusion and stay unfused
+            want_fused = is_fused_layout(state.params)
             if is_fused_layout(sd["params"]) != want_fused:
                 # cross-layout resume: weights/stats convert losslessly;
                 # the optimizer moments' tree is layout-shaped, so exact

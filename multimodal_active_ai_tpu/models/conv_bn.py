@@ -70,7 +70,10 @@ class FusedConv1x1BN(nn.Module):
         if not train:
             y = jnp.dot(xd, wd).astype(self.dtype)
             mean, var = ra_mean.value, ra_var.value
-        elif self.impl == "gram":
+        elif self.impl == "gram" or xd.shape[0] % 8 != 0:
+            # the Pallas kernel's row tiles need sublane-aligned M; odd
+            # B*H*W products would degrade to tiny tiles (a perf cliff),
+            # so fall back to the gram form — same contract, plain matmuls
             y, s, sq = pallas_conv_bn.gram_stats(xd, wd)
             mean, var = self._finalize(s, sq, xd.shape[0], ra_mean, ra_var)
         else:
@@ -109,7 +112,13 @@ _C, _B = "Conv_{}", "BatchNorm_{}"
 
 
 def _is_unfused_bottleneck(d: dict) -> bool:
-    return isinstance(d, dict) and "Conv_2" in d and "Conv_0" in d
+    if not (isinstance(d, dict) and "Conv_2" in d and "Conv_0" in d):
+        return False
+    # a downsample BasicBlock also has Conv_0..2 — but its Conv_0 is the
+    # 3x3; only Bottleneck leads with a 1x1
+    k = d["Conv_0"].get("kernel") if isinstance(d["Conv_0"], dict) else None
+    return k is not None and getattr(k, "ndim", 0) == 4 \
+        and tuple(k.shape[:2]) == (1, 1)
 
 
 def _is_fused_bottleneck(d: dict) -> bool:

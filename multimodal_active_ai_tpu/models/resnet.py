@@ -141,6 +141,15 @@ class ResNet(nn.Module):
             raise ValueError(
                 f"stat_fusion embeds BatchNorm semantics; incompatible with "
                 f"norm_kind={self.norm_kind!r}")
+        if self.stat_fusion and self.norm_kind == "sync_bn" and self.axis_name:
+            # FusedConv1x1BN has no axis_name plumbing: fusing here would
+            # silently mix per-replica 1x1 stats with psum'd 3x3 stats.
+            # GSPMD data-parallel programs use norm_kind='bn' (global-batch
+            # stats come from the sharded reduction itself).
+            raise ValueError(
+                "stat_fusion with sync_bn+axis_name would break SyncBN "
+                "semantics on the fused layers; use norm_kind='bn' under "
+                "GSPMD instead")
         norm = make_norm(self.norm_kind, axis_name=self.axis_name, dtype=self.dtype)
         x = x.astype(self.dtype)
         # stem: 7x7 stride-1 conv on 12 channels, no max-pool (resnet.py:169,231)

@@ -60,6 +60,22 @@ def create_train_state(model, optimizer, rng, sample_glimpses) -> TrainState:
     )
 
 
+def unroll_from_env(value: str | None, on_tpu: bool):
+    """Resolve a BENCH_UNROLL-style string to ``make_train_step``'s
+    ``unroll`` argument. Shared by bench.py and tools/profile_step.py so
+    both default to the measured flagship configuration (``unroll=5`` on
+    TPU — PERF.md round 3; plain scan elsewhere)."""
+    if value is None or value == "":
+        value = "5" if on_tpu else ""
+    if not value:
+        return None
+    if value == "scan":
+        return False
+    if value in ("full", "true"):
+        return True
+    return int(value)
+
+
 def make_train_step(model, mesh, retina_cfg: retina.RetinaConfig,
                     num_fixations: int, temperature: float,
                     donate: bool = True, unroll: bool | None = None):

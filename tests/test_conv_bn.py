@@ -317,3 +317,21 @@ def test_gram_fusion_global_batch_stats_on_mesh(mesh2, rng):
     np.testing.assert_allclose(jax.device_get(m2["batch_stats"]["var"]),
                                jax.device_get(m1["batch_stats"]["var"]),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_convert_is_noop_on_basicblock_trees():
+    """ResNet-18/34 downsample BasicBlocks also expose Conv_0..2 — the
+    fused-layout probe must not mistake their 3x3-led blocks for
+    Bottlenecks (layout conversion is identity for BasicBlock nets)."""
+    from multimodal_active_ai_tpu.models.conv_bn import (
+        convert_stat_fusion_variables)
+    from multimodal_active_ai_tpu.models.resnet import build_encoder
+
+    enc = build_encoder("ResNet18", norm_kind="bn", axis_name=None)
+    v = enc.init(jax.random.PRNGKey(0), jnp.ones((1, 30, 30, 12)),
+                 train=True)
+    out = convert_stat_fusion_variables(dict(v), to_fused=True)
+    assert jax.tree_util.tree_structure(out) \
+        == jax.tree_util.tree_structure(dict(v))
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(a, b),
+                 out, dict(v))

@@ -41,11 +41,9 @@ def run(steps: int, batch: int, fixations: int, canvas: int, arch: str):
     rng = jax.random.PRNGKey(0)
     sample = jnp.ones((2, cfg.glimpse_size, cfg.glimpse_size, cfg.num_channels))
     state = simclr_train.create_train_state(model, tx, rng, sample)
-    unroll_env = os.environ.get("BENCH_UNROLL", "")
-    unroll = (None if not unroll_env or unroll_env == "scan" else
-              True if unroll_env in ("full", "true") else int(unroll_env))
-    if unroll_env == "scan":
-        unroll = False
+    unroll = simclr_train.unroll_from_env(
+        os.environ.get("BENCH_UNROLL"),
+        on_tpu=jax.default_backend() == "tpu")
     step = simclr_train.make_train_step(model, None, cfg, fixations, 0.05,
                                         unroll=unroll)
 

@@ -12,7 +12,9 @@
 #   - sustained ##Perf (img/s) from the Speed lines
 #
 # Usage: bash tools/tpu_learning_run.sh [DATA] [WORK]
-set -eu
+set -euo pipefail   # a failed pretrain must not let the probe run on a
+                    # random encoder (the probe loader tolerates a missing
+                    # checkpoint by design)
 cd "$(dirname "$0")/.."
 DATA=${1:-/root/data/tiny10}
 WORK=${2:-/root/data/lr50}
@@ -27,6 +29,9 @@ timeout 5400 python contrastive_learning.py "$DATA" --dataset imagenet \
     --warmup-epochs 1 --canvas-cache "$WORK/cache" \
     --checkpoint-dir "$WORK/simclr" -p 2 2>&1 | tee "$WORK/simclr.log" \
     | grep -E "Epoch:|##|Saving|Speed" | tail -80
+
+[ -f "$WORK/simclr/model_best.msgpack" ] || {
+    echo "pretrain produced no checkpoint — aborting before the probe"; exit 1; }
 
 echo "=== Linear probe on the pretrained encoder ==="
 timeout 5400 python representation_evaluation.py \

@@ -13,11 +13,21 @@ OUT=${1:-/tmp/tpu_queue_results.txt}
 leg() {
   local name=$1 tmo=$2; shift 2
   echo "=== $name ($(date -u +%H:%M:%S)) ===" | tee -a "$OUT"
-  timeout "$tmo" env "$@" >> "$OUT" 2>&1
+  # -k: a wedged TPU client can ignore SIGTERM; force SIGKILL so one hung
+  # leg can't eat the queue
+  timeout -k 30 "$tmo" env "$@" >> "$OUT" 2>&1
   local rc=$?
   echo "--- $name rc=$rc ---" | tee -a "$OUT"
   return $rc
 }
+
+# ONE TPU client at a time (CLAUDE.md): surface any candidate stray clients
+# for the operator — never auto-kill by pattern.
+strays=$(ps -eo pid,etime,cmd | grep -E "python" | grep -vE "grep|$$") || true
+if [ -n "$strays" ]; then
+  echo "WARNING: python processes running — a stray TPU client will wedge every leg:" | tee -a "$OUT"
+  echo "$strays" | tee -a "$OUT"
+fi
 
 # 0. connectivity gate: a trivial program must run before anything long
 leg connectivity 180 python -c "
