@@ -46,6 +46,10 @@ leg bench_stats_gram 2400 BENCH_STATS=gram BENCH_VERBOSE=1 python bench.py
 # 4. the one-pass stat kernel swap (measured-or-rejected entry)
 leg bench_norm_bn_fused 2400 BENCH_NORM=bn_fused python bench.py
 
+# 4b. combined: 1x1 stats from the conv epilogue + 3x3 stats one-pass
+leg bench_stats_pallas_norm_fused 2400 BENCH_STATS=pallas \
+    BENCH_NORM=bn_fused python bench.py
+
 # 5. BN-stat micro-bench at the hot shapes
 leg bn_stat_micro 1800 python tools/bn_stat_bench.py --iters 30
 
