@@ -488,7 +488,14 @@ def main():
                                           batch_per_chip, 10, 190)
     # the reference driver's default optimizer (Contrastive_Learning.py:138)
     opt_name = os.environ.get("BENCH_OPT", "adam")
-    tx = optimizers.get_optimizer(opt_name, sched)
+    # BENCH_ADAM_MU=bfloat16: store Adam's first moment in bf16 — the
+    # per-fixation update streams five full parameter trees through HBM
+    # (12.3 ms/step profiled); this halves one of them. Numerics-perturbing,
+    # so opt-in and labeled in the JSON record.
+    adam_mu = os.environ.get("BENCH_ADAM_MU") or None
+    tx = optimizers.get_optimizer(opt_name, sched,
+                                  mu_dtype=jnp.dtype(adam_mu) if adam_mu
+                                  else None)
     rng = jax.random.PRNGKey(0)
     sample = jnp.ones((2, cfg.glimpse_size, cfg.glimpse_size, cfg.num_channels))
     state = simclr_train.create_train_state(model, tx, rng, sample)
@@ -618,6 +625,8 @@ def main():
         # label non-default normalization variants so the artifact can't be
         # mistaken for the flagship configuration
         record["norm"] = {"kind": norm_kind, "stat_fusion": stat_fusion}
+    if adam_mu:
+        record["adam_mu_dtype"] = adam_mu
     print(json.dumps(record))
     if os.environ.get("BENCH_VERBOSE"):
         print(f"# devices={n_dev} global_batch={global_batch} "

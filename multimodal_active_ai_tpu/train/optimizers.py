@@ -47,17 +47,26 @@ def larc_scale(trust_coefficient: float = 0.02, eps: float = 1e-8,
 
 
 def get_optimizer(name: str, learning_rate: float | Callable, momentum: float = 0.9,
-                  weight_decay: float = 1e-4) -> optax.GradientTransformation:
+                  weight_decay: float = 1e-4,
+                  mu_dtype: jnp.dtype | None = None) -> optax.GradientTransformation:
     """sgd / adam / lars with the reference's hyperparameter wiring
     (``Model_Util.py:68-88``: SGD gets momentum+weight decay, Adam and LARS
-    take only the LR)."""
+    take only the LR).
+
+    ``mu_dtype`` (adam/adamw only) stores the first moment in a reduced
+    dtype — the per-fixation optimizer update is pure HBM traffic over
+    every parameter/moment leaf (12.3 ms/step profiled, PERF.md round-3),
+    and bf16 ``mu`` cuts one of the five full-tree streams in half. Off by
+    default: it perturbs update numerics, so it is a measured opt-in
+    (``BENCH_ADAM_MU`` on the bench), not the production default.
+    """
     if name == "sgd":
         return optax.chain(
             optax.add_decayed_weights(weight_decay),
             optax.sgd(learning_rate, momentum=momentum),
         )
     if name == "adam":
-        return optax.adam(learning_rate)
+        return optax.adam(learning_rate, mu_dtype=mu_dtype)
     if name == "lars":
         # Adam wrapped in LARC, matching apex LARC(Adam) (Model_Util.py:80-83).
         return optax.chain(
@@ -67,7 +76,8 @@ def get_optimizer(name: str, learning_rate: float | Callable, momentum: float = 
         )
     if name == "adamw":
         # used by the DETR drivers (DETR_Image_Classification.py:385-394)
-        return optax.adamw(learning_rate, weight_decay=weight_decay)
+        return optax.adamw(learning_rate, weight_decay=weight_decay,
+                           mu_dtype=mu_dtype)
     if name == "rmsprop":
         # used by the RLS DQN optimizer (DETR_Image_Classification_RLS.py:445)
         return optax.rmsprop(learning_rate)

@@ -62,6 +62,30 @@ def test_optimizers_produce_finite_updates():
             assert np.isfinite(np.asarray(leaf)).all()
 
 
+def test_adam_bf16_mu_stores_and_updates():
+    """mu_dtype=bfloat16 (the BENCH_ADAM_MU lever): the first moment is
+    stored bf16 and updates stay close to the f32-moment updates."""
+    params = {"w": jnp.ones((64, 64)), "b": jnp.zeros((64,))}
+    grads = jax.tree.map(lambda p: jnp.full_like(p, 0.01), params)
+
+    def updates_for(mu_dtype):
+        tx = get_optimizer("adam", 0.1, mu_dtype=mu_dtype)
+        state = tx.init(params)
+        if mu_dtype is not None:
+            mus = [l.dtype for l in jax.tree.leaves(state)
+                   if hasattr(l, "dtype")]
+            assert jnp.bfloat16 in mus
+        upd, _ = tx.update(grads, state, params)
+        return upd
+
+    u16 = updates_for(jnp.bfloat16)
+    u32 = updates_for(None)
+    for a, b in zip(jax.tree.leaves(u16), jax.tree.leaves(u32)):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32),
+                                   rtol=0.02, atol=1e-6)
+
+
 def test_larc_trust_ratio_clips():
     """LARC in clipping mode never amplifies an update (ratio <= 1)."""
     tx = larc_scale(trust_coefficient=0.02)

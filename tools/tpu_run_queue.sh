@@ -50,6 +50,9 @@ leg bench_norm_bn_fused 2400 BENCH_NORM=bn_fused python bench.py
 leg bench_stats_pallas_norm_fused 2400 BENCH_STATS=pallas \
     BENCH_NORM=bn_fused python bench.py
 
+# 4c. bf16 Adam first moment (the 12.3 ms/step optimizer-update HBM stream)
+leg bench_adam_mu_bf16 2400 BENCH_ADAM_MU=bfloat16 python bench.py
+
 # 5. BN-stat micro-bench at the hot shapes
 leg bn_stat_micro 1800 python tools/bn_stat_bench.py --iters 30
 
