@@ -56,6 +56,15 @@ leg bench_adam_mu_bf16 2400 BENCH_ADAM_MU=bfloat16 python bench.py
 # 5. BN-stat micro-bench at the hot shapes
 leg bn_stat_micro 1800 python tools/bn_stat_bench.py --iters 30
 
+# 5b. end-to-end host path with the decode-once cache + 2-deep device
+# prefetch (verdict #7 done-when: does H2D overlap help on this box?)
+leg bench_host_prefetch 3000 BENCH_INPUT=host \
+    BENCH_CACHE=/root/data/bench_cache BENCH_DEV_PREFETCH=2 \
+    BENCH_VERBOSE=1 python bench.py
+leg bench_host_noprefetch 3000 BENCH_INPUT=host \
+    BENCH_CACHE=/root/data/bench_cache BENCH_DEV_PREFETCH=0 \
+    BENCH_VERBOSE=1 python bench.py
+
 # 6-9. per-driver throughput rows (PERF.md five-row table; detr re-run so
 # all five rows come from the same session)
 leg bench_mode_detr 2400 BENCH_MODE=detr python bench.py
