@@ -335,3 +335,56 @@ def test_convert_is_noop_on_basicblock_trees():
         == jax.tree_util.tree_structure(dict(v))
     jax.tree.map(lambda a, b: np.testing.assert_array_equal(a, b),
                  out, dict(v))
+
+
+@pytest.mark.slow
+def test_training_curve_parity_fused_vs_unfused():
+    """Loss-CURVE equivalence (verdict #1's parity check): the same
+    ResNet-50 SimCLR training run — identical init (via the layout
+    converter), identical glimpse stream — produces the same per-step
+    losses with and without gram stat fusion, so the perf lever does not
+    change training dynamics."""
+    from multimodal_active_ai_tpu.models import SimCLRModule
+    from multimodal_active_ai_tpu.models.conv_bn import (
+        convert_stat_fusion_variables)
+    from multimodal_active_ai_tpu.ops import retina
+    from multimodal_active_ai_tpu.train import optimizers, simclr_train
+
+    cfg = retina.RetinaConfig(canvas_size=64, crop_sizes=(40, 24, 10, 30),
+                              supersample=2)
+    rng = jax.random.PRNGKey(0)
+    sample = jnp.ones((2, 30, 30, 12))
+    tx = optimizers.get_optimizer("adam", lambda t: 1e-3)
+
+    def run(stat_fusion, variables=None):
+        model = SimCLRModule(arch="ResNet50", axis_name=None, norm_kind="bn",
+                             stat_fusion=stat_fusion)
+        state = simclr_train.create_train_state(model, tx, rng, sample)
+        if variables is not None:
+            conv = convert_stat_fusion_variables(variables,
+                                                 to_fused=bool(stat_fusion))
+            state = state.replace(params=conv["params"],
+                                  batch_stats=conv["batch_stats"])
+        step = simclr_train.make_train_step(model, None, cfg,
+                                            num_fixations=2, temperature=0.5)
+        curve = []
+        r = np.random.RandomState(11)
+        for t in range(4):
+            images = jnp.asarray(
+                r.randint(0, 256, (4, 64, 64, 3)).astype(np.uint8))
+            state, m = step(state, images, jax.random.PRNGKey(100 + t))
+            curve.extend(float(x) for x in jax.device_get(m["losses"]))
+        return curve, {"params": jax.device_get(state.params),
+                       "batch_stats": jax.device_get(state.batch_stats)}
+
+    base_model = SimCLRModule(arch="ResNet50", axis_name=None,
+                              norm_kind="bn")
+    base_vars = jax.device_get(dict(
+        params=simclr_train.create_train_state(
+            base_model, tx, rng, sample).params,
+        batch_stats=simclr_train.create_train_state(
+            base_model, tx, rng, sample).batch_stats))
+
+    unfused, _ = run(None, base_vars)
+    fused, _ = run("gram", base_vars)
+    np.testing.assert_allclose(fused, unfused, rtol=2e-3, atol=1e-4)
