@@ -36,6 +36,12 @@ SHAPES = [
 
 def main():
     import jax
+
+    # the TPU platform plugin overrides the JAX_PLATFORMS env var; honor an
+    # explicit CPU request through jax.config (same dance as bench.py)
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
     import jax.numpy as jnp
 
     from multimodal_active_ai_tpu.ops import pallas_bn
