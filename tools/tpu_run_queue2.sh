@@ -1,0 +1,62 @@
+#!/bin/bash
+# Round-4 TPU measurement queue, part 2 (continuation after the box restart
+# killed part 1 mid-run; part-1 results preserved in bench_logs_r04_part1.txt).
+# Same contract as tools/tpu_run_queue.sh: one leg at a time, per-leg
+# timeout, labeled output appended to $OUT. Ends with the driver-level
+# learning run (verdict #2).
+#
+# Usage: bash tools/tpu_run_queue2.sh [OUT]  (default /tmp/tpu_queue2_results.txt)
+set -u
+cd "$(dirname "$0")/.."
+OUT=${1:-/tmp/tpu_queue2_results.txt}
+: > "$OUT"
+
+leg() {
+  local name=$1 tmo=$2; shift 2
+  echo "=== $name ($(date -u +%H:%M:%S)) ===" | tee -a "$OUT"
+  timeout -k 30 "$tmo" env "$@" >> "$OUT" 2>&1
+  local rc=$?
+  echo "--- $name rc=$rc ---" | tee -a "$OUT"
+  return $rc
+}
+
+# 0. connectivity gate
+leg connectivity 180 python -c "
+import jax, jax.numpy as jnp
+print(jax.devices())
+x = jnp.ones((128,128)); print(float((x@x).sum()))
+" || { echo "TPU unreachable; aborting queue" | tee -a "$OUT"; exit 1; }
+
+# 1. clean headline re-run — part 1's bench_default ran while pytest was
+# chewing the box's single CPU (6287/7619/8545 window climb); re-measure quiet.
+leg bench_default 2400 BENCH_VERBOSE=1 BENCH_MFU=1 python bench.py
+
+# 2. bf16 Adam first moment (part 1 was killed mid-leg here)
+leg bench_adam_mu_bf16 2400 BENCH_ADAM_MU=bfloat16 python bench.py
+
+# 3. BN-stat micro-bench at the hot shapes
+leg bn_stat_micro 1800 python tools/bn_stat_bench.py --iters 30
+
+# 4. host path with decode-once cache, with and without 2-deep device prefetch
+leg bench_host_prefetch 3000 BENCH_INPUT=host \
+    BENCH_CACHE=/root/data/bench_cache BENCH_DEV_PREFETCH=2 \
+    BENCH_VERBOSE=1 python bench.py
+leg bench_host_noprefetch 3000 BENCH_INPUT=host \
+    BENCH_CACHE=/root/data/bench_cache BENCH_DEV_PREFETCH=0 \
+    BENCH_VERBOSE=1 python bench.py
+
+# 5-8. per-driver throughput rows (PERF.md five-row table)
+leg bench_mode_detr 2400 BENCH_MODE=detr python bench.py
+leg bench_mode_probe 2400 BENCH_MODE=probe python bench.py
+leg bench_mode_rls 3600 BENCH_MODE=rls python bench.py
+leg bench_mode_captions 2400 BENCH_MODE=captions python bench.py
+
+echo "QUEUE2 BENCHES DONE $(date -u)" | tee -a "$OUT"
+
+# 9. driver-level learning run (verdict #2): SimCLR pretrain + linear probe
+# over the structured JPEG corpus, through the production host path.
+echo "=== learning_run ($(date -u +%H:%M:%S)) ===" | tee -a "$OUT"
+timeout -k 30 10800 bash tools/tpu_learning_run.sh >> "$OUT" 2>&1
+echo "--- learning_run rc=$? ---" | tee -a "$OUT"
+
+echo "QUEUE2 DONE $(date -u)" | tee -a "$OUT"
