@@ -3,18 +3,29 @@
 hot shapes — XLA's mean/var formulation vs the one-pass Pallas kernel
 (``ops/pallas_bn.py``).
 
-Per PERF.md measurement rules: every timed call gets a DIFFERENT input (the
-axon backend dedupes identical executions), and device time is confirmed
-with a profiler trace when ``--trace`` is set.
+Measurement method (PERF.md rules for the remote-tunneled TPU): host wall
+timing cannot resolve sub-ms kernels here — per-call dispatch through the
+tunnel costs ~14 ms, which is why the first version of this tool printed
+nonsense. On TPU each (shape, form) is instead run under its own
+``jax.profiler.trace`` over a cycle of PRE-GENERATED DISTINCT inputs (the
+backend dedupes identical executions) and the per-iteration DEVICE time is
+the sum of leaf-op durations on the device pid. On CPU (no tunnel) plain
+wall timing is kept.
 
-Usage: python tools/bn_stat_bench.py [--iters 30]
+Usage: python tools/bn_stat_bench.py [--iters 10] [--distinct 4]
 """
 
 from __future__ import annotations
 
 import argparse
+import glob
+import gzip
+import json
 import os
+import re
+import shutil
 import sys
+from collections import defaultdict
 from time import perf_counter
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -33,6 +44,30 @@ SHAPES = [
     (128 * 4 * 4, 2048),     # layer4 expansions
 ]
 
+_PARENT = re.compile(r"^(jit_|while|body|cond|\d+$)")
+
+
+def _trace_device_us(trace_dir: str) -> float:
+    """Sum leaf-op durations (us) on device pids of the newest trace under
+    ``trace_dir`` (same parsing as tools/profile_step.py)."""
+    paths = glob.glob(os.path.join(trace_dir, "**", "*.trace.json.gz"),
+                      recursive=True)
+    if not paths:
+        raise RuntimeError(f"no trace found under {trace_dir}")
+    with gzip.open(sorted(paths)[-1], "rt") as f:
+        tr = json.load(f)
+    events = tr.get("traceEvents", [])
+    dev_pids = {e["pid"] for e in events
+                if e.get("ph") == "M" and e.get("name") == "process_name"
+                and any(k in e.get("args", {}).get("name", "")
+                        for k in ("TPU", "/device:", "Device"))}
+    total = 0.0
+    for e in events:
+        if (e.get("ph") == "X" and e.get("pid") in dev_pids
+                and not _PARENT.match(e.get("name", ""))):
+            total += float(e.get("dur", 0.0))
+    return total
+
 
 def main():
     import jax
@@ -47,11 +82,14 @@ def main():
     from multimodal_active_ai_tpu.ops import pallas_bn
 
     ap = argparse.ArgumentParser()
-    ap.add_argument("--iters", type=int, default=30)
+    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--distinct", type=int, default=4,
+                    help="distinct pre-generated inputs cycled per timing")
     ap.add_argument("--dtype", default="bfloat16")
     args = ap.parse_args()
     dt = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
-    interpret = jax.default_backend() != "tpu"
+    on_tpu = jax.default_backend() == "tpu"
+    interpret = not on_tpu
 
     @jax.jit
     def xla_stats(x):
@@ -71,49 +109,46 @@ def main():
 
     pallas_stats = jax.jit(pallas_stats)
 
+    def device_ms(fn, inputs) -> float:
+        """Per-iteration device (TPU) or wall (CPU) time in ms."""
+        out = fn(inputs[0])
+        jax.block_until_ready(out)
+        if not on_tpu:
+            t0 = perf_counter()
+            for i in range(args.iters):
+                out = fn(inputs[i % len(inputs)])
+            jax.block_until_ready(out)
+            return (perf_counter() - t0) / args.iters * 1e3
+        trace_dir = "/tmp/maai_bn_stat_trace"
+        shutil.rmtree(trace_dir, ignore_errors=True)
+        jax.profiler.start_trace(trace_dir)
+        for i in range(args.iters):
+            out = fn(inputs[i % len(inputs)])
+        jax.block_until_ready(out)
+        jax.profiler.stop_trace()
+        return _trace_device_us(trace_dir) / args.iters / 1e3
+
     rng = jax.random.PRNGKey(0)
-    print(f"{'shape':>18} {'bytes':>8} | {'xla ms':>8} {'GB/s':>6} | "
-          f"{'pallas ms':>9} {'GB/s':>6} | speedup")
+    unit = "device ms" if on_tpu else "wall ms"
+    print(f"{'shape':>18} {'bytes':>8} | {'xla ' + unit:>12} {'GB/s':>6} | "
+          f"{'pallas':>9} {'GB/s':>6} | speedup")
     tot_x = tot_p = 0.0
     for n, c in SHAPES:
         nbytes = n * c * (2 if dt == jnp.bfloat16 else 4)
-        # distinct inputs per iteration: add a per-iter scalar (cheap,
-        # fused) so the backend cannot dedupe
-        base = jax.random.normal(rng, (n, c), jnp.float32).astype(dt)
-        deltas = jax.device_get(jax.random.normal(rng, (args.iters + 3,)))
+        keys = jax.random.split(rng, args.distinct)
+        inputs = [jax.random.normal(k, (n, c), jnp.float32).astype(dt)
+                  for k in keys]
+        jax.block_until_ready(inputs)
 
-        def timed(fn):
-            out = fn(base)
-            jax.block_until_ready(out)
-            t0 = perf_counter()
-            for i in range(args.iters):
-                out = fn(base + jnp.asarray(deltas[i], dt))
-            jax.block_until_ready(out)
-            return (perf_counter() - t0) / args.iters
-
-        # the add itself costs a pass; time it alone and subtract
-        @jax.jit
-        def add_only(x, d):
-            return x + d
-
-        t_add = None
-        out = add_only(base, jnp.asarray(deltas[-1], dt))
-        jax.block_until_ready(out)
-        t0 = perf_counter()
-        for i in range(args.iters):
-            out = add_only(base, jnp.asarray(deltas[i], dt))
-        jax.block_until_ready(out)
-        t_add = (perf_counter() - t0) / args.iters
-
-        tx = max(timed(lambda x: xla_stats(x)) - t_add, 1e-9)
-        tp = max(timed(lambda x: pallas_stats(x)) - t_add, 1e-9)
-        gx, gp = nbytes / tx / 1e9, nbytes / tp / 1e9
+        tx = device_ms(xla_stats, inputs)
+        tp = device_ms(pallas_stats, inputs)
+        gx, gp = nbytes / (tx * 1e-3) / 1e9, nbytes / (tp * 1e-3) / 1e9
         tot_x += tx
         tot_p += tp
-        print(f"{n:>10}x{c:<7} {nbytes/1e6:7.1f}M | {tx*1e3:8.3f} {gx:6.0f} | "
-              f"{tp*1e3:9.3f} {gp:6.0f} | {tx/tp:5.2f}x")
-    print(f"total: xla {tot_x*1e3:.2f} ms  pallas {tot_p*1e3:.2f} ms  "
-          f"({tot_x/tot_p:.2f}x)   [add-pass baseline subtracted]")
+        print(f"{n:>10}x{c:<7} {nbytes/1e6:7.1f}M | {tx:12.3f} {gx:6.0f} | "
+              f"{tp:9.3f} {gp:6.0f} | {tx/max(tp, 1e-9):5.2f}x")
+    print(f"total per pass: xla {tot_x:.3f} ms  pallas {tot_p:.3f} ms  "
+          f"({tot_x/max(tot_p, 1e-9):.2f}x)  [{unit}]")
 
 
 if __name__ == "__main__":
