@@ -128,7 +128,40 @@ class CanvasCache:
         fancy-index copy. A per-row Python loop here held the GIL long
         enough to starve the host→device transfer thread on 1-core hosts
         (measured 3.0 s vs 0.11 s per 157 MB put)."""
+        self._advise_willneed(rows)
         out[positions] = self._data[rows]
+
+    def _advise_willneed(self, rows: np.ndarray) -> None:
+        """``madvise(MADV_WILLNEED)`` the row runs about to be gathered.
+
+        The fancy-index copy demand-faults the memmap one page at a time;
+        on a disk-backed cache whose pages fell out of the page cache that
+        serializes ~40k 4 KiB faults per 157 MB batch. Advising the
+        contiguous row runs first lets the kernel read ahead asynchronously
+        while the copy proceeds. Best-effort: silently skipped where the
+        mmap handle or madvise is unavailable."""
+        mm = getattr(self._data, "_mmap", None)
+        madvise = getattr(mm, "madvise", None)
+        if madvise is None:
+            return
+        import mmap as _mmap
+
+        if not hasattr(_mmap, "MADV_WILLNEED"):
+            return
+        row_bytes = self.canvas * self.canvas * 3
+        page = _mmap.PAGESIZE
+        srt = np.sort(np.asarray(rows, np.int64))
+        # collapse sorted rows into contiguous [start, stop) runs
+        breaks = np.nonzero(np.diff(srt) > 1)[0]
+        starts = np.concatenate(([0], breaks + 1))
+        stops = np.concatenate((breaks, [len(srt) - 1]))
+        try:
+            for a, b in zip(srt[starts], srt[stops]):
+                off = int(a) * row_bytes // page * page
+                length = (int(b) + 1) * row_bytes - off
+                madvise(_mmap.MADV_WILLNEED, off, length)
+        except (OSError, ValueError):
+            pass
 
     def put(self, i: int, img: np.ndarray) -> None:
         self._data[i] = img

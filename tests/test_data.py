@@ -339,6 +339,27 @@ def test_canvas_cache_invalidation_guards(tmp_path, monkeypatch):
         CanvasCache(cache, files, 64)
 
 
+def test_canvas_cache_read_rows_with_readahead_hint(tmp_path):
+    """read_rows' MADV_WILLNEED readahead hint (issued per contiguous row
+    run, non-monotonic and duplicate row orders included) must not perturb
+    the gathered bytes."""
+    from multimodal_active_ai_tpu.data.loader import CanvasCache
+
+    files = []
+    for i in range(7):
+        p = tmp_path / f"f{i}.jpg"
+        p.write_bytes(b"x")
+        files.append(str(p))
+    c = CanvasCache(str(tmp_path / "cache"), files, 8)
+    imgs = np.arange(7 * 8 * 8 * 3, dtype=np.uint8).reshape(7, 8, 8, 3)
+    for i in range(7):
+        c.put(i, imgs[i])
+    rows = np.array([5, 0, 1, 2, 5, 6], np.int64)   # runs: [0,2], [5,6]
+    out = np.zeros((6, 8, 8, 3), np.uint8)
+    c.read_rows(rows, out, np.arange(6))
+    np.testing.assert_array_equal(out, imgs[rows])
+
+
 def test_loader_decoder_identity_splits_cache(tmp_path):
     """PIL- and native-decoded canvases differ pixelwise: a loader with the
     other backend must not serve the first backend's cache rows."""

@@ -18,6 +18,10 @@ set -euo pipefail   # a failed pretrain must not let the probe run on a
 cd "$(dirname "$0")/.."
 DATA=${1:-/root/data/tiny10}
 WORK=${2:-/root/data/lr50}
+# tmpfs-backed canvas cache: this box's disk-backed memmap gathers measured
+# 13-37 s/batch this session (page-fault/IO collapse, see PERF.md); the
+# corpus is 1.2 GB and RAM is 128 GB, so keep the hot path in memory
+CACHE=${CACHE:-/dev/shm/lr50_cache}
 mkdir -p "$WORK"
 
 [ -d "$DATA/train" ] || python tools/make_tiny_imagefolder.py "$DATA" \
@@ -26,7 +30,7 @@ mkdir -p "$WORK"
 echo "=== SimCLR pretrain (ResNet50, f=5, b=96, 10 epochs) ==="
 timeout 5400 python contrastive_learning.py "$DATA" --dataset imagenet \
     -a ResNet50 -b 96 -f 5 --epochs 10 --optimizer adam --lr 0.001 \
-    --warmup-epochs 1 --canvas-cache "$WORK/cache" \
+    --warmup-epochs 1 --canvas-cache "$CACHE" \
     --checkpoint-dir "$WORK/simclr" -p 2 2>&1 | tee "$WORK/simclr.log" \
     | grep -E "Epoch:|##|Saving|Speed" | tail -80
 
@@ -37,7 +41,7 @@ echo "=== Linear probe on the pretrained encoder ==="
 timeout 5400 python representation_evaluation.py \
     "$WORK/simclr/model_best.msgpack" "$DATA" --dataset imagenet \
     -a ResNet50 --num-classes 10 -b 96 -f 5 --epochs 15 --optimizer adam \
-    --lr 0.001 --canvas-cache "$WORK/cache" \
+    --lr 0.001 --canvas-cache "$CACHE" \
     --checkpoint-dir "$WORK/probe" -p 2 2>&1 | tee "$WORK/probe.log" \
     | grep -E "Epoch:|##|Saving" | tail -60
 

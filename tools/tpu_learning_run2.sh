@@ -21,6 +21,7 @@ set -euo pipefail
 cd "$(dirname "$0")/.."
 DATA=${1:-/root/data/tiny10}
 WORK=${2:-/root/data/lr50}
+CACHE=${CACHE:-/dev/shm/lr50_cache}   # tmpfs: see tpu_learning_run.sh
 BB="$WORK/simclr/model_best.msgpack"
 [ -f "$BB" ] || { echo "missing $BB — run tools/tpu_learning_run.sh first"; exit 1; }
 [ -d "$DATA/train" ] || { echo "missing corpus $DATA"; exit 1; }
@@ -28,14 +29,14 @@ BB="$WORK/simclr/model_best.msgpack"
 echo "=== DETR classifier (ResNet50 backbone, f=5, b=96, 12 epochs) ==="
 timeout 5400 python detr_image_classification.py "$BB" "$DATA" \
     --dataset imagenet --backbone ResNet50 --num-classes 10 -b 96 -f 5 \
-    --epochs 12 --canvas-cache "$WORK/cache" \
+    --epochs 12 --canvas-cache "$CACHE" \
     --checkpoint-dir "$WORK/detr" -p 2 2>&1 | tee "$WORK/detr.log" \
     | grep -E "Epoch:|##|Saving|Speed" | tail -60
 
 echo "=== RLS (DETR + DQN saccade policy, f=5, b=96, 12 epochs) ==="
 timeout 7200 python detr_image_classification_rls.py "$BB" "$DATA" \
     --dataset imagenet --backbone ResNet50 --num-classes 10 -b 96 -f 5 \
-    --epochs 12 --canvas-cache "$WORK/cache" \
+    --epochs 12 --canvas-cache "$CACHE" \
     --checkpoint-dir "$WORK/rls" -p 2 2>&1 | tee "$WORK/rls.log" \
     | grep -E "Epoch:|##|Saving|Speed" | tail -80
 
