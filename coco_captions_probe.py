@@ -9,7 +9,11 @@ text transformer embeds the paired captions, the towers are aligned with
 symmetric InfoNCE, and image↔text retrieval top-1/top-5 is reported.
 
 CLI: ``python coco_captions_probe.py MODEL_CKPT DATA [--dataset mscoco] …``
-(``--dataset synthetic`` runs with generated images + templated captions).
+(``--dataset synthetic`` runs with generated images + templated captions;
+``--dataset imagefolder`` templates captions from the class directories of
+an ImageNet-layout corpus and feeds the real JPEGs through the host path —
+image and caption are then *correlated*, so retrieval is learnable, unlike
+the synthetic reader whose labels are independent of pixel content).
 """
 
 from __future__ import annotations
@@ -26,6 +30,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from multimodal_active_ai_tpu.config import _flag, parse_into, MODEL_NAMES
 from multimodal_active_ai_tpu.data import SyntheticReader, list_coco_images
+from multimodal_active_ai_tpu.data.readers import list_image_folder
 from multimodal_active_ai_tpu.data.loader import HostLoader
 from multimodal_active_ai_tpu.models import MLP, SimCLRModule
 from multimodal_active_ai_tpu.models.text import (
@@ -56,7 +61,7 @@ class CaptionProbeConfig:
     data: str = _flag("data", default=None, positional=True)
     arch: str = _flag("--arch", "-a", default="ResNet18", choices=MODEL_NAMES)
     dataset: str = _flag("--dataset", default="mscoco",
-                         choices=["mscoco", "synthetic"])
+                         choices=["mscoco", "synthetic", "imagefolder"])
     batch_size: int = _flag("-b", "--batch-size", default=64)
     num_fixations: int = _flag("-f", "--num-fixations", default=2)
     epochs: int = _flag("--epochs", default=5)
@@ -73,6 +78,8 @@ class CaptionProbeConfig:
     num_examples: int = _flag("--num-examples", default=0)
     checkpoint_dir: str = _flag("--checkpoint-dir", default=".")
     resume: str = _flag("--resume", default="")
+    canvas_cache: str = _flag("--canvas-cache", default="",
+                              help="decode-once canvas cache directory")
 
 
 def load_caption_pairs(cfg):
@@ -102,6 +109,29 @@ def load_caption_pairs(cfg):
     return files, captions
 
 
+_CAPTION_TEMPLATES = (
+    "a photo of a {} pattern",
+    "an image with {} coloring",
+    "the picture shows a {} grating",
+    "a synthetic {} textured sample",
+)
+
+
+def imagefolder_captions(labels, classes):
+    """One templated caption per file from its class-directory name.
+
+    The class name carries the image's content (the corpus encodes class as
+    dominant hue), so image↔caption retrieval is learnable; templates rotate
+    deterministically by file index to give the corpus vocabulary more than
+    one token per class. Captions repeat across files of a class, which caps
+    in-batch retrieval top-1 below 100% (duplicate positives) — climbing far
+    above 1/B chance is still the learning signal.
+    """
+    names = [c.replace("_", " ") for c in classes]
+    return [_CAPTION_TEMPLATES[i % len(_CAPTION_TEMPLATES)].format(names[l])
+            for i, l in enumerate(labels)]
+
+
 def main(argv=None):
     cfg = parse_into(CaptionProbeConfig, argv, prog="COCO_Captions_Probe")
     initialize_distributed(verbose=cfg.verbose)
@@ -125,13 +155,21 @@ def main(argv=None):
                                  seed=cfg.seed + 7919 * jax.process_index())
         captions = None
     else:
-        files, caps = load_caption_pairs(cfg)
+        if cfg.dataset == "imagefolder":
+            root = os.path.join(cfg.data, "train")
+            if not os.path.isdir(root):
+                root = cfg.data
+            files, file_labels, classes = list_image_folder(root)
+            caps = imagefolder_captions(file_labels, classes)
+        else:
+            files, caps = load_caption_pairs(cfg)
         reader = HostLoader(files, list(range(len(files))),
                             batch_size=local_batch,
                             canvas_size=cfg.canvas_size, shuffle=True,
                             shard_id=jax.process_index(),
                             num_shards=jax.process_count(),
-                            seed=cfg.seed, num_threads=cfg.workers)
+                            seed=cfg.seed, num_threads=cfg.workers,
+                            cache_dir=cfg.canvas_cache or None)
         captions = caps
 
     # corpus-built frequency vocabulary over the caption annotations (the

@@ -179,3 +179,56 @@ def test_vocabulary_u8_roundtrip(tmp_path):
     ids_a, _ = vocab.encode(corpus[1])
     ids_b, _ = restored.encode(corpus[1])
     assert ids_a == ids_b
+
+
+def test_imagefolder_captions_templates():
+    """Class-directory names become content-carrying captions, templates
+    rotate by file index so the corpus vocabulary is richer than one
+    token per class."""
+    from coco_captions_probe import _CAPTION_TEMPLATES, imagefolder_captions
+
+    caps = imagefolder_captions([0, 0, 1, 1, 1], ["class_000", "class_001"])
+    assert len(caps) == 5
+    assert all("class 000" in c for c in caps[:2])
+    assert all("class 001" in c for c in caps[2:])
+    # index-rotated templates: consecutive files of one class differ
+    assert caps[2] != caps[3]
+    assert len(_CAPTION_TEMPLATES) >= 2
+
+
+import pytest
+
+
+@pytest.mark.slow
+def test_caption_probe_imagefolder_driver(tmp_path, capsys):
+    """--dataset imagefolder end to end: real JPEGs through the host path,
+    captions templated from the class tree, corpus vocab built + persisted.
+    (The TPU learning leg showed the synthetic reader's label↔image
+    independence makes retrieval unlearnable — this mode is the correlated
+    replacement; PARITY.md round-4.)"""
+    pytest.importorskip("PIL")
+    import coco_captions_probe
+    from multimodal_active_ai_tpu.models.text import Vocabulary
+    from multimodal_active_ai_tpu.utils import checkpoint as ckpt
+    from PIL import Image
+
+    rng = np.random.RandomState(0)
+    root = tmp_path / "corpus" / "train"
+    for c in range(2):
+        d = root / f"class_{c:03d}"
+        d.mkdir(parents=True)
+        for i in range(3):
+            arr = rng.randint(0, 255, (48, 48, 3), dtype=np.uint8)
+            Image.fromarray(arr).save(d / f"{i:04d}.jpg")
+
+    coco_captions_probe.main([
+        str(tmp_path / "no_ckpt.msgpack"), str(tmp_path / "corpus"),
+        "--dataset", "imagefolder", "--canvas-size", "64", "-b", "1",
+        "--arch", "ResNet18", "-f", "2", "--epochs", "1", "-t",
+        "--checkpoint-dir", str(tmp_path),
+    ])
+    out = capsys.readouterr().out
+    assert "caption vocabulary" in out
+    payload = ckpt.load_checkpoint(str(tmp_path / "caption_probe_checkpoint.msgpack"))
+    vocab = Vocabulary.from_u8(payload["vocab_words_u8"], max_len=32)
+    assert any("class" in w for w in vocab.words)

@@ -40,9 +40,14 @@ timeout 7200 python detr_image_classification_rls.py "$BB" "$DATA" \
     --checkpoint-dir "$WORK/rls" -p 2 2>&1 | tee "$WORK/rls.log" \
     | grep -E "Epoch:|##|Saving|Speed" | tail -80
 
-echo "=== Captions probe (synthetic captions, f=5, b=64, 10 epochs) ==="
+# imagefolder captions: templated from the class directories of the real
+# JPEG corpus, so image and caption are CORRELATED and retrieval is
+# learnable (the original synthetic leg pinned at exact chance because
+# SyntheticReader labels are independent of pixel content — PARITY.md)
+echo "=== Captions probe (imagefolder captions, f=5, b=64, 10 epochs) ==="
 timeout 5400 python coco_captions_probe.py "$BB" "$DATA" \
-    --dataset synthetic -a ResNet50 -b 64 -f 5 --epochs 10 \
+    --dataset imagefolder -a ResNet50 -b 64 -f 5 --epochs 10 \
+    --canvas-cache "$CACHE" \
     --checkpoint-dir "$WORK/captions" -p 2 2>&1 | tee "$WORK/captions.log" \
     | grep -E "Epoch:|##|Saving|Speed" | tail -40
 

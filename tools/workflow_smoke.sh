@@ -92,6 +92,24 @@ PY
 python coco_captions_probe.py "$CKPT" "$WORK/mini_coco" --dataset mscoco \
   --canvas-size 64 -b 4 --arch ResNet18 -f 2 --epochs 1 -t \
   --checkpoint-dir "$WORK" | grep -E "caption vocabulary|##Vocab"
+# imagefolder mode: captions templated from the class tree (the correlated
+# image↔caption path used for the TPU learning evidence, PARITY.md round-4)
+python - "$WORK" <<'PY'
+import os, sys
+import numpy as np
+from PIL import Image
+r = np.random.RandomState(1)
+for c in range(2):
+    d = os.path.join(sys.argv[1], "mini_folder", "train", f"class_{c:03d}")
+    os.makedirs(d, exist_ok=True)
+    for i in range(4):
+        Image.fromarray(r.randint(0, 255, (64, 64, 3), np.uint8)).save(
+            os.path.join(d, f"{i:04d}.jpg"))
+PY
+python coco_captions_probe.py "$CKPT" "$WORK/mini_folder" \
+  --dataset imagefolder --canvas-size 64 -b 4 --arch ResNet18 -f 2 \
+  --epochs 1 -t --checkpoint-dir "$WORK" \
+  | grep -E "caption vocabulary|##Vocab"
 
 echo "WORKFLOW SMOKE: ALL FIVE DRIVERS + RESUME PATHS PASSED"
 
