@@ -23,6 +23,10 @@ import queue
 import threading
 from typing import Callable, Iterable, Iterator
 
+# seconds between is-the-consumer-gone checks while parked on a full queue
+# (module-level so tests can shrink it to exercise the stall path quickly)
+_PUT_TIMEOUT = 5.0
+
 
 def device_prefetch(batches: Iterable, put: Callable, depth: int = 2) -> Iterator:
     """Yield ``put(batch)`` for each batch, with up to ``depth`` transfers
@@ -41,27 +45,32 @@ def device_prefetch(batches: Iterable, put: Callable, depth: int = 2) -> Iterato
     q: "queue.Queue" = queue.Queue(maxsize=depth)
     stop = threading.Event()
     _END = object()
+    put_timeout = _PUT_TIMEOUT
+
+    def blocking_put(item) -> bool:
+        """Put that never gives up while the consumer is alive: a single
+        bounded timeout would silently DROP the end/exception sentinel when
+        the consumer stalls past it with a full queue (a multi-minute XLA
+        compile on batch 0 is routine here) and leave it parked on ``q.get()``
+        forever."""
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=put_timeout)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def worker():
         try:
             for b in batches:
                 if stop.is_set():
                     return
-                item = put(b)
-                while not stop.is_set():
-                    try:
-                        q.put(item, timeout=5.0)
-                        break
-                    except queue.Full:
-                        continue
-                else:
+                if not blocking_put(put(b)):
                     return
-            q.put(_END)
+            blocking_put(_END)
         except BaseException as exc:  # noqa: BLE001 — forwarded as sentinel
-            try:
-                q.put(exc, timeout=5.0)
-            except queue.Full:
-                pass
+            blocking_put(exc)
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()

@@ -416,3 +416,41 @@ def test_device_prefetch_overlap_order_and_errors():
     with pytest.raises(RuntimeError, match="device prefetch"):
         for _ in it:
             pass
+
+
+def test_device_prefetch_sentinel_survives_consumer_stall(monkeypatch):
+    """A consumer stalled past the put timeout with the queue full (a
+    multi-minute XLA compile on batch 0 is routine) must NOT lose the
+    worker's end/exception sentinel — the old single-timeout put dropped it
+    and left the consumer parked on q.get() forever."""
+    import threading
+    from time import sleep
+
+    from multimodal_active_ai_tpu.data import prefetch as pf
+
+    monkeypatch.setattr(pf, "_PUT_TIMEOUT", 0.05)
+
+    def source():
+        yield "a"
+        yield "b"
+        raise ValueError("reader died mid-epoch")
+
+    it = pf.device_prefetch(source(), lambda b: b, depth=1)
+    assert next(it) == "a"      # starts the worker; "b" fills the queue
+    sleep(0.5)                  # worker parks on the exc put, >> put timeout
+    assert next(it) == "b"
+
+    result = {}
+
+    def consume():
+        try:
+            next(it)
+        except BaseException as exc:  # noqa: BLE001
+            result["exc"] = exc
+
+    t = threading.Thread(target=consume, daemon=True)
+    t.start()
+    t.join(5.0)
+    assert not t.is_alive(), "exception sentinel dropped; consumer hung"
+    assert isinstance(result["exc"], RuntimeError)
+    assert isinstance(result["exc"].__cause__, ValueError)
