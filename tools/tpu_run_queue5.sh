@@ -33,8 +33,9 @@ leg() {
   return $rc
 }
 
-# 0. connectivity gate
-leg connectivity 180 python -c "
+# 0. connectivity gate (first compile on a fresh box measured 101 s —
+#    the tunnel warms up slowly; 180 s false-negatived once)
+leg connectivity 600 python -c "
 import jax, jax.numpy as jnp
 print(jax.devices())
 x = jnp.ones((128,128)); print(float((x@x).sum()))
