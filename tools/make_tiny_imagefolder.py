@@ -12,6 +12,18 @@ conventions apply).
 
 Usage: python tools/make_tiny_imagefolder.py OUT_DIR [--classes 10]
        [--per-class 96] [--val-per-class 16] [--size 640]
+
+``--cue right-stripe`` switches to the location-cued family used to prove
+the RLS driver's learned-saccade question on real JPEGs: the background is
+the SAME gray grating for every class (class-uninformative), and the class
+hue lives ONLY in a vertical stripe on the right 10% of the canvas — the
+640px JPEG version of the synthetic task
+``tests/test_convergence.py::test_rls_policy_eval_beats_random_eval``
+already proves separates greedy-policy eval from random-saccade eval.
+Retina geometry (crop window origin = fix·(canvas−crop), crop sizes
+400/240/100/30 of a 640 canvas): the stripe at x ∈ [0.9, 1.0) enters the
+coarsest 400-window only when fix_x ≳ 0.8, so a random fixation sees the
+cue ~17% of the time while a policy that learns fix_x → 1 always does.
 """
 
 from __future__ import annotations
@@ -23,12 +35,16 @@ from concurrent.futures import ThreadPoolExecutor
 import numpy as np
 
 
+def _hue_basis(c: int, ncls: int) -> np.ndarray:
+    hue = (c / ncls) * 2 * np.pi
+    return np.array([np.cos(hue), np.cos(hue - 2 * np.pi / 3),
+                     np.cos(hue + 2 * np.pi / 3)]) * 0.5 + 0.5
+
+
 def class_image(c: int, ncls: int, inst: int, size: int,
                 rng: np.random.RandomState) -> np.ndarray:
     yy, xx = np.mgrid[0:size, 0:size] / size
-    hue = (c / ncls) * 2 * np.pi
-    base = np.array([np.cos(hue), np.cos(hue - 2 * np.pi / 3),
-                     np.cos(hue + 2 * np.pi / 3)]) * 0.5 + 0.5
+    base = _hue_basis(c, ncls)
     freq = 2 + (inst * 7) % 5
     ang = inst * 2.399
     grating = 0.5 + 0.5 * np.sin(
@@ -36,6 +52,23 @@ def class_image(c: int, ncls: int, inst: int, size: int,
         + rng.uniform(0, 2 * np.pi))
     img = base[None, None, :] * (0.35 + 0.65 * grating[..., None])
     img = img + rng.normal(0, 0.02, img.shape)       # mild sensor noise
+    return np.clip(img * 255, 0, 255).astype(np.uint8)
+
+
+def cue_stripe_image(c: int, ncls: int, inst: int, size: int,
+                     rng: np.random.RandomState) -> np.ndarray:
+    """Location-cued image: gray class-uninformative background, class hue
+    only in the right-edge stripe (the 640px JPEG analogue of
+    ``tests/test_convergence.py::test_rls_policy_eval_beats_random_eval``'s
+    64px in-memory task)."""
+    yy, xx = np.mgrid[0:size, 0:size] / size
+    phase = rng.uniform(0, 2 * np.pi)
+    bg = 0.5 + 0.25 * np.sin(2 * np.pi * 3 * (xx + yy) + phase)
+    img = np.repeat(bg[..., None], 3, axis=2)
+    x0 = int(round(0.9 * size))
+    tex = 0.6 + 0.4 * np.sin(2 * np.pi * 4 * yy[:, x0:] + inst * 1.7)
+    img[:, x0:] = _hue_basis(c, ncls)[None, None, :] * tex[..., None]
+    img = img + rng.normal(0, 0.02, img.shape)
     return np.clip(img * 255, 0, 255).astype(np.uint8)
 
 
@@ -49,7 +82,11 @@ def main():
     ap.add_argument("--val-per-class", type=int, default=16)
     ap.add_argument("--size", type=int, default=640)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--cue", choices=["none", "right-stripe"], default="none",
+                    help="location-cued family for the RLS learned-saccade "
+                         "evidence run (class hue only in the right stripe)")
     args = ap.parse_args()
+    gen = cue_stripe_image if args.cue == "right-stripe" else class_image
 
     jobs = []
     for split, n in (("train", args.per_class), ("val", args.val_per_class)):
@@ -65,7 +102,7 @@ def main():
             return
         inst = i + (10_000 if split == "val" else 0)
         rng = np.random.RandomState(args.seed + 131 * c + inst)
-        img = class_image(c, args.classes, inst, args.size, rng)
+        img = gen(c, args.classes, inst, args.size, rng)
         Image.fromarray(img).save(path + ".tmp", format="JPEG", quality=90)
         os.replace(path + ".tmp", path)
 
