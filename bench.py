@@ -556,11 +556,11 @@ def main():
                 else jnp.asarray(x)
 
         # BENCH_DEV_PREFETCH: host->device transfers issued ahead of the
-        # step (the DALI prefetch_queue_depth role, second stage). Defaults
-        # off on few-core hosts where any concurrent host thread collapses
-        # the tunneled transfer (PERF.md).
-        dev_depth = int(os.environ.get(
-            "BENCH_DEV_PREFETCH", "0" if (os.cpu_count() or 1) < 4 else "2"))
+        # step (the DALI prefetch_queue_depth role, second stage). Default 2
+        # everywhere: queue3 measured it doubling e2e (68.4 vs 30.2 img/s)
+        # even on the collapsed 1-vCPU box (PERF.md round 4), matching the
+        # driver's --device-prefetch default.
+        dev_depth = int(os.environ.get("BENCH_DEV_PREFETCH", "2"))
         from multimodal_active_ai_tpu.data.prefetch import device_prefetch
 
         dev_it = device_prefetch(it, lambda b: put(b[0]), depth=dev_depth)

@@ -33,6 +33,8 @@ from multimodal_active_ai_tpu.data import (
     list_coco_images,
     list_image_folder,
 )
+from contextlib import closing
+
 from multimodal_active_ai_tpu.data.prefetch import device_prefetch
 from multimodal_active_ai_tpu.models import SimCLRModule
 from multimodal_active_ai_tpu.models.conv_bn import (
@@ -249,23 +251,26 @@ def main(argv=None):
         last_loss = None
         # transfer of batch N+1 overlaps the device step on batch N
         # (DALI prefetch_queue_depth role; --device-prefetch 0 disables)
-        dev_batches = device_prefetch(iter(train_reader),
-                                      lambda b: put(b[0]),
-                                      depth=cfg.device_prefetch)
-        for i, images_dev in enumerate(dev_batches):
-            state, metrics = train_step(state, images_dev, step_keys[i])
-            last_loss = metrics["losses"]
-            if cfg.test and i > 10:
-                break
-            if i % cfg.print_freq == 0:
-                loss_val = float(jax.device_get(last_loss)[-1])
-                losses.update(loss_val, global_batch)
-                jax.block_until_ready(state.params)
-                batch_time.update((time() - end) / cfg.print_freq)
-                end = time()
-                if jax.process_index() == 0:
-                    print(speed_line(epoch, i, nbatches, batch_time, losses,
-                                     global_batch))
+        # closing(): an early exit (-t break) must shut the transfer thread
+        # down, or it keeps consuming train_reader and issuing device_puts
+        # concurrently with the validation loop below
+        with closing(device_prefetch(iter(train_reader),
+                                     lambda b: put(b[0]),
+                                     depth=cfg.device_prefetch)) as dev_batches:
+            for i, images_dev in enumerate(dev_batches):
+                state, metrics = train_step(state, images_dev, step_keys[i])
+                last_loss = metrics["losses"]
+                if cfg.test and i > 10:
+                    break
+                if i % cfg.print_freq == 0:
+                    loss_val = float(jax.device_get(last_loss)[-1])
+                    losses.update(loss_val, global_batch)
+                    jax.block_until_ready(state.params)
+                    batch_time.update((time() - end) / cfg.print_freq)
+                    end = time()
+                    if jax.process_index() == 0:
+                        print(speed_line(epoch, i, nbatches, batch_time,
+                                         losses, global_batch))
         loss_history.append(losses.avg)
         total_time.update(batch_time.avg)
         if cfg.verbose and hasattr(train_reader, "stats_line"):

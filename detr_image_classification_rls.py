@@ -13,9 +13,11 @@ to pushing every consecutive pair (documented divergence).
 Improvements over the reference (documented divergences): the RLS reference
 has no validation loop and a dead/buggy DQN resume path (undefined
 ``policy_model`` names, ``:459-461``); this driver validates every epoch
-with BOTH random saccades (``##Top-1``, comparable to the DETR driver) and
-greedy policy rollouts (``##Policy Top-1`` — the measurement of whether the
-learned saccades help), and has working DQN checkpointing.
+with BOTH all-random saccades (``##Top-1``) and greedy policy rollouts
+(``##Policy Top-1``) through the same rollout machinery with shared keys —
+a paired, same-glimpse-budget measurement of whether the learned saccades
+help (see ``rls_train.make_policy_eval_step``) — and has working DQN
+checkpointing.
 """
 
 from __future__ import annotations
@@ -121,8 +123,13 @@ def main(argv=None):
             f"{jax.process_count()} processes and the {n_data}-way data "
             f"axis it is sharded over")
     dqn_local_batch = cfg.dqn_batch_size // jax.process_count()
-    eval_step = detr_train.make_detr_eval_step(
-        model, criterion, mesh, retina_cfg, cfg.num_fixations)
+    # the random-saccade control uses the SAME rollout machinery and
+    # num_fixs distribution as the policy eval (greedy=False), so the
+    # ##Policy Top-1 vs ##Top-1 pair is a same-budget paired comparison —
+    # see make_policy_eval_step's docstring
+    eval_step = rls_train.make_policy_eval_step(
+        model, criterion, dqn, mesh, retina_cfg, cfg.num_fixations,
+        cfg.num_of_actions, greedy=False)
     policy_eval_step = rls_train.make_policy_eval_step(
         model, criterion, dqn, mesh, retina_cfg, cfg.num_fixations,
         cfg.num_of_actions)
@@ -236,17 +243,18 @@ def main(argv=None):
         if (epoch + 1) % cfg.target_update_freq == 0:
             target_vars = rls_train.sync_target(policy_state)
 
-        # validation (the reference RLS has none): the random-saccade
-        # evaluator for comparability with the plain DETR driver, plus a
-        # greedy-policy rollout pass on the same batches — the measurement
-        # of whether the LEARNED saccades help classification
+        # validation (the reference RLS has none): a random-saccade control
+        # and a greedy-policy rollout pass over the same batches with the
+        # same keys — a paired, same-glimpse-budget measurement of whether
+        # the LEARNED saccades help classification
         top1, top5 = AverageMeter(), AverageMeter()
         ptop1, ptop5 = AverageMeter(), AverageMeter()
         dqn_variables = {"params": policy_state.params,
                          "batch_stats": policy_state.batch_stats}
         for i, (images, labels) in enumerate(iter(val_reader)):
             im, lb = put(images), put(labels)
-            m = jax.device_get(eval_step(state, im, lb, val_keys[i]))
+            m = jax.device_get(eval_step(state, dqn_variables, im, lb,
+                                         val_keys[i]))
             pm = jax.device_get(policy_eval_step(state, dqn_variables, im,
                                                  lb, val_keys[i]))
             top1.update(float(m["top1"]) * 100, global_batch)

@@ -151,6 +151,8 @@ class CanvasCache:
         row_bytes = self.canvas * self.canvas * 3
         page = _mmap.PAGESIZE
         srt = np.sort(np.asarray(rows, np.int64))
+        if srt.size == 0:
+            return  # the run-collapse below would index into the empty array
         # collapse sorted rows into contiguous [start, stop) runs
         breaks = np.nonzero(np.diff(srt) > 1)[0]
         starts = np.concatenate(([0], breaks + 1))

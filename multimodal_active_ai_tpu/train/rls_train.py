@@ -142,7 +142,8 @@ def make_rls_train_step(model, criterion, dqn_model, mesh,
 
 def make_policy_eval_step(model, criterion, dqn_model, mesh,
                           retina_cfg: retina.RetinaConfig,
-                          num_fixations: int, num_of_actions: int):
+                          num_fixations: int, num_of_actions: int,
+                          greedy: bool = True):
     """Greedy-policy validation: does the LEARNED saccade policy help?
 
     The reference never measures its own scientific question — RLS trains a
@@ -152,16 +153,31 @@ def make_policy_eval_step(model, criterion, dqn_model, mesh,
     policy's greedy argmax (ε = 0, the ``select_action_from_policy`` path
     of ``DQN/Training.py:57-68``), producing the ``##Policy Top-1`` the
     driver prints next to the random-saccade ``##Top-1`` each epoch.
+
+    ``greedy=False`` builds the CONTROL for that comparison: the identical
+    rollout machinery with every fixation random (the ``epoch == 0`` branch
+    of the rollout). Both evaluators then draw ``num_fixs`` from the same
+    [2, max(F,3)-1] distribution — and, called with the same ``key``, the
+    same per-batch draw and the same random fixation 0 — so ``##Policy
+    Top-1`` vs ``##Top-1`` is a paired same-budget comparison in which only
+    the post-initial saccades differ. (The plain DETR driver's evaluator
+    draws ``num_fixs ∈ [1, F]`` and is NOT budget-matched to the policy
+    rollout; using it as the control biased the comparison — e.g. at F=3 it
+    sees a single glimpse a third of the time while the policy always got
+    two.)
     """
 
     rollout_fn = make_rollout(dqn_model, retina_cfg, num_fixations,
                               num_of_actions, eps_start=0.0, eps_end=0.0,
                               eps_decay=1.0)
+    # epoch=1: only fixation 0 is random; with ε=0 the rest are greedy.
+    # epoch=0: the rollout's fully-random branch (the control). A Python
+    # constant at trace time, so the unused DQN applies are DCE'd.
+    rollout_epoch = 1 if greedy else 0
 
     def step(state: TrainState, dqn_variables, images, labels, key):
-        # epoch=1: only fixation 0 is random; with ε=0 the rest are greedy
         ro = rollout_fn(dqn_variables, images, key,
-                        jnp.asarray(1, jnp.int32))
+                        jnp.asarray(rollout_epoch, jnp.int32))
         out = model.apply({"params": state.params,
                            "batch_stats": state.batch_stats},
                           ro.glimpses, ro.saccades, ro.mask, train=False)

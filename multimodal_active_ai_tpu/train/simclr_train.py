@@ -65,7 +65,7 @@ def unroll_from_env(value: str | None, on_tpu: bool):
     ``unroll`` argument. Shared by bench.py and tools/profile_step.py so
     both default to the measured flagship configuration (``unroll=5`` on
     TPU — PERF.md round 3; plain scan elsewhere)."""
-    if value is None or value == "":
+    if value is None:  # unset → measured default; explicit "" → plain scan
         value = "5" if on_tpu else ""
     if not value:
         return None

@@ -12,10 +12,46 @@ step-stats summary.
 from __future__ import annotations
 
 import contextlib
+import glob
+import gzip
+import json
 import os
+import re
 from time import perf_counter
 
 import jax
+
+# module/step parent spans to drop when summing device leaf-op times
+# (jit_* program spans, while/body/cond control frames, bare step ints)
+PARENT_SPAN = re.compile(r"^(jit_|while|body|cond|\d+$)")
+
+
+def device_leaf_ops(trace_dir: str) -> list[tuple[str, float]]:
+    """``(op_name, duration_us)`` for every leaf X-event on a device pid of
+    the newest ``*.trace.json.gz`` under ``trace_dir``.
+
+    This is the measurement CLAUDE.md mandates for this environment (wall
+    timing through the tunnel is dispatch-bound nonsense): capture with
+    :func:`trace`, then sum per-op ``dur`` on the TPU pids. Shared by
+    ``tools/profile_step.py`` (per-op breakdown) and
+    ``tools/bn_stat_bench.py`` (device-time totals) so the pid detection
+    and parent-span filtering cannot drift apart. Raises ``RuntimeError``
+    when no trace file exists.
+    """
+    paths = glob.glob(os.path.join(trace_dir, "**", "*.trace.json.gz"),
+                      recursive=True)
+    if not paths:
+        raise RuntimeError(f"no trace found under {trace_dir}")
+    with gzip.open(sorted(paths)[-1], "rt") as f:
+        events = json.load(f).get("traceEvents", [])
+    dev_pids = {e["pid"] for e in events
+                if e.get("ph") == "M" and e.get("name") == "process_name"
+                and any(k in e.get("args", {}).get("name", "")
+                        for k in ("TPU", "/device:", "Device"))}
+    return [(e.get("name", ""), float(e.get("dur", 0.0)))
+            for e in events
+            if e.get("ph") == "X" and e.get("pid") in dev_pids
+            and not PARENT_SPAN.match(e.get("name", ""))]
 
 
 @contextlib.contextmanager

@@ -457,7 +457,11 @@ def test_rls_policy_eval_beats_random_eval():
     dqn_upd = rls_train.make_dqn_update_step(dqn, A, gamma=0.0)
     pol_eval = rls_train.make_policy_eval_step(model, criterion, dqn, None,
                                                cfg, F, A)
-    rnd_eval = detr_train.make_detr_eval_step(model, criterion, None, cfg, F)
+    # the budget-matched control: same rollout machinery, all-random
+    # fixations; with shared keys the num_fixs draw and fixation 0 are
+    # identical per pair, so only the post-initial saccades differ
+    rnd_eval = rls_train.make_policy_eval_step(model, criterion, dqn, None,
+                                               cfg, F, A, greedy=False)
 
     na = int(os.environ.get("RLS_CONV_NA", "130"))
     nb = int(os.environ.get("RLS_CONV_NB", "80"))
@@ -488,7 +492,7 @@ def test_rls_policy_eval_beats_random_eval():
         pol_eval(state, dqn_vars, images, labels, keys[na + nb + j])["top1"]))
         for j in range(4)])
     rnd = np.mean([float(jax.device_get(
-        rnd_eval(state, images, labels, keys[na + nb + 8 + j])["top1"]))
+        rnd_eval(state, dqn_vars, images, labels, keys[na + nb + j])["top1"]))
         for j in range(4)])
     print(f"RLS policy eval top1 {pol:.3f} vs random eval {rnd:.3f}")
     assert pol >= rnd + 0.2, (pol, rnd)

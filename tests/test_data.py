@@ -359,6 +359,11 @@ def test_canvas_cache_read_rows_with_readahead_hint(tmp_path):
     c.read_rows(rows, out, np.arange(6))
     np.testing.assert_array_equal(out, imgs[rows])
 
+    # empty gather is a no-op (the readahead run-collapse must not index
+    # into an empty row array)
+    c.read_rows(np.array([], np.int64), out, np.array([], np.int64))
+    np.testing.assert_array_equal(out, imgs[rows])
+
 
 def test_loader_decoder_identity_splits_cache(tmp_path):
     """PIL- and native-decoded canvases differ pixelwise: a loader with the

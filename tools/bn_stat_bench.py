@@ -18,14 +18,9 @@ Usage: python tools/bn_stat_bench.py [--iters 10] [--distinct 4]
 from __future__ import annotations
 
 import argparse
-import glob
-import gzip
-import json
 import os
-import re
 import shutil
 import sys
-from collections import defaultdict
 from time import perf_counter
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -44,29 +39,12 @@ SHAPES = [
     (128 * 4 * 4, 2048),     # layer4 expansions
 ]
 
-_PARENT = re.compile(r"^(jit_|while|body|cond|\d+$)")
-
-
 def _trace_device_us(trace_dir: str) -> float:
     """Sum leaf-op durations (us) on device pids of the newest trace under
-    ``trace_dir`` (same parsing as tools/profile_step.py)."""
-    paths = glob.glob(os.path.join(trace_dir, "**", "*.trace.json.gz"),
-                      recursive=True)
-    if not paths:
-        raise RuntimeError(f"no trace found under {trace_dir}")
-    with gzip.open(sorted(paths)[-1], "rt") as f:
-        tr = json.load(f)
-    events = tr.get("traceEvents", [])
-    dev_pids = {e["pid"] for e in events
-                if e.get("ph") == "M" and e.get("name") == "process_name"
-                and any(k in e.get("args", {}).get("name", "")
-                        for k in ("TPU", "/device:", "Device"))}
-    total = 0.0
-    for e in events:
-        if (e.get("ph") == "X" and e.get("pid") in dev_pids
-                and not _PARENT.match(e.get("name", ""))):
-            total += float(e.get("dur", 0.0))
-    return total
+    ``trace_dir`` (shared parser: ``utils.profiling.device_leaf_ops``)."""
+    from multimodal_active_ai_tpu.utils.profiling import device_leaf_ops
+
+    return sum(dur for _name, dur in device_leaf_ops(trace_dir))
 
 
 def main():

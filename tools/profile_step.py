@@ -10,9 +10,6 @@ backend — the real TPU under axon, CPU with MAAI_PLATFORM=cpu)
 from __future__ import annotations
 
 import argparse
-import glob
-import gzip
-import json
 import os
 import sys
 from collections import defaultdict
@@ -66,38 +63,25 @@ def run(steps: int, batch: int, fixations: int, canvas: int, arch: str):
 def summarize(trace_dir: str, steps: int, top: int = 40):
     import re
 
-    paths = glob.glob(os.path.join(trace_dir, "**", "*.trace.json.gz"),
-                      recursive=True)
-    if not paths:
-        print("no trace found under", trace_dir)
+    # shared parser (device-pid detection + parent-span filtering):
+    # utils.profiling.device_leaf_ops, also used by tools/bn_stat_bench.py
+    from multimodal_active_ai_tpu.utils.profiling import device_leaf_ops
+
+    try:
+        leaf_ops = device_leaf_ops(trace_dir)
+    except RuntimeError as exc:
+        print(exc)
         return
-    with gzip.open(sorted(paths)[-1], "rt") as f:
-        tr = json.load(f)
-    events = tr.get("traceEvents", [])
-    # find device pids (TPU/device lanes)
-    dev_pids = set()
-    for e in events:
-        if e.get("ph") == "M" and e.get("name") == "process_name":
-            nm = e.get("args", {}).get("name", "")
-            if "TPU" in nm or "/device:" in nm or "Device" in nm:
-                dev_pids.add(e["pid"])
-    # leaf ops only: drop module/step parent spans (jit_*, while*, bare ints)
-    parent = re.compile(r"^(jit_|while|body|cond|\d+$)")
     suffix = re.compile(r"[.\d]+$")
     by_op = defaultdict(float)
     by_cat = defaultdict(float)
     counts = defaultdict(int)
     total = 0.0
-    for e in events:
-        if e.get("ph") == "X" and e.get("pid") in dev_pids:
-            name = e.get("name", "")
-            if parent.match(name):
-                continue
-            dur = float(e.get("dur", 0.0))
-            by_op[name] += dur
-            by_cat[suffix.sub("", name) or name] += dur
-            counts[suffix.sub("", name) or name] += 1
-            total += dur
+    for name, dur in leaf_ops:
+        by_op[name] += dur
+        by_cat[suffix.sub("", name) or name] += dur
+        counts[suffix.sub("", name) or name] += 1
+        total += dur
     print(f"device leaf-op total: {total / 1e3 / steps:.3f} ms/step "
           f"over {steps} steps")
     print("--- by category (suffix-stripped) ---")

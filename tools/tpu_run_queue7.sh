@@ -17,6 +17,13 @@
 # fast eps decay. Deliverable: per-epoch ##Policy Top-1 separating upward
 # from the random-saccade ##Top-1.
 #
+# The ##Top-1 control is budget-matched (make_policy_eval_step
+# greedy=False): both evals run the same rollout machinery with the same
+# keys, so num_fixs and fixation 0 are identical per pair and only the
+# post-initial saccades differ — at F=3 both always get 2 glimpses
+# (control sees the cue ~47% of the time via either random fixation;
+# a learned policy ~100%).
+#
 # Uses the queue6 ResNet-18 SimCLR encoder (hue features transfer).
 #
 # Usage: bash tools/tpu_run_queue7.sh [OUT]  (default /tmp/tpu_queue7_results.txt)
