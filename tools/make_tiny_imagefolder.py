@@ -56,20 +56,33 @@ def class_image(c: int, ncls: int, inst: int, size: int,
 
 
 def cue_stripe_image(c: int, ncls: int, inst: int, size: int,
-                     rng: np.random.RandomState) -> np.ndarray:
+                     rng: np.random.RandomState,
+                     frac0: float = 0.9, frac1: float = 1.0) -> np.ndarray:
     """Location-cued image: gray class-uninformative background, class hue
-    only in the right-edge stripe (the 640px JPEG analogue of
-    ``tests/test_convergence.py::test_rls_policy_eval_beats_random_eval``'s
+    only in the vertical stripe x ∈ [frac0, frac1) (the 640px JPEG analogue
+    of ``tests/test_convergence.py::test_rls_policy_eval_beats_random_eval``'s
     64px in-memory task)."""
     yy, xx = np.mgrid[0:size, 0:size] / size
     phase = rng.uniform(0, 2 * np.pi)
     bg = 0.5 + 0.25 * np.sin(2 * np.pi * 3 * (xx + yy) + phase)
     img = np.repeat(bg[..., None], 3, axis=2)
-    x0 = int(round(0.9 * size))
-    tex = 0.6 + 0.4 * np.sin(2 * np.pi * 4 * yy[:, x0:] + inst * 1.7)
-    img[:, x0:] = _hue_basis(c, ncls)[None, None, :] * tex[..., None]
+    x0, x1 = int(round(frac0 * size)), int(round(frac1 * size))
+    tex = 0.6 + 0.4 * np.sin(2 * np.pi * 4 * yy[:, x0:x1] + inst * 1.7)
+    img[:, x0:x1] = _hue_basis(c, ncls)[None, None, :] * tex[..., None]
     img = img + rng.normal(0, 0.02, img.shape)
     return np.clip(img * 255, 0, 255).astype(np.uint8)
+
+
+def fovea_stripe_image(c: int, ncls: int, inst: int, size: int,
+                       rng: np.random.RandomState) -> np.ndarray:
+    """``cue_stripe_image`` with the stripe at x ∈ [0.84375, 0.9375)
+    ([540, 600) at 640px) — centered on the fovea of the LARGEST fixation an
+    A=10 action grid can express (fix = 9/10 → 30 px fovea at
+    x ∈ [549, 579], fully inside the cue). The queue7 postmortem (PARITY.md)
+    showed the right-edge stripe and a tractable action grid are mutually
+    exclusive: at A=10 the fovea tops out 3 px into a [576, 640) stripe."""
+    return cue_stripe_image(c, ncls, inst, size, rng,
+                            frac0=0.84375, frac1=0.9375)
 
 
 def main():
@@ -82,11 +95,16 @@ def main():
     ap.add_argument("--val-per-class", type=int, default=16)
     ap.add_argument("--size", type=int, default=640)
     ap.add_argument("--seed", type=int, default=0)
-    ap.add_argument("--cue", choices=["none", "right-stripe"], default="none",
+    ap.add_argument("--cue", choices=["none", "right-stripe", "fovea-stripe"],
+                    default="none",
                     help="location-cued family for the RLS learned-saccade "
-                         "evidence run (class hue only in the right stripe)")
+                         "evidence run (class hue only in a vertical stripe; "
+                         "fovea-stripe centers it on the A=10 grid's max "
+                         "fixation fovea)")
     args = ap.parse_args()
-    gen = cue_stripe_image if args.cue == "right-stripe" else class_image
+    gen = {"right-stripe": cue_stripe_image,
+           "fovea-stripe": fovea_stripe_image,
+           "none": class_image}[args.cue]
 
     jobs = []
     for split, n in (("train", args.per_class), ("val", args.val_per_class)):
