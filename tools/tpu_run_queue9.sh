@@ -1,0 +1,78 @@
+#!/bin/bash
+# Round-4/5 TPU measurement queue, part 9: the RLS learned-saccade question,
+# attempt 3 — queue8's geometry/curriculum (which were validated) with the
+# variable the queue8 postmortem isolated: the pretrained frozen backbone.
+#
+# Evidence chain (PARITY.md "RLS learned-saccade question on hardware"):
+# queue7 failed on geometry (cue un-foveatable at A=10); queue8 fixed the
+# geometry and curriculum and STILL pinned CE at ln(4) for 500 updates; the
+# two-arm CPU diagnostic (tools/rls_cue_diag.py) isolates whether the
+# pretrained-frozen backbone (frozen stem/layer1 + FrozenBatchNorm +
+# lr_backbone=1e-5, fit to full-canvas hue) is what blocks learning on the
+# stripe-cued corpus. CHECK ITS VERDICT LINE BEFORE SPENDING THIS QUEUE —
+# if "neither arm learns", redesign instead of rerunning.
+#
+# Leg 1 (rls_from_init): queue8 recipe, NO pretrained backbone — the
+#   configuration the CPU diagnostics train under. Expected: CE off the
+#   ln(4) floor, random ##Top-1 toward its ~74% visibility ceiling,
+#   ##Policy Top-1 separating above it.
+# Leg 2 (rls_hot_backbone): queue8 recipe, pretrained backbone kept but
+#   --lr_backbone 5e-4 (vs the 1e-5 ImageNet-scale default) so layer2-4
+#   can adapt the full-hue features to the stripe task. Runs only if the
+#   queue6 encoder checkpoint still exists on this box.
+#
+# Usage: bash tools/tpu_run_queue9.sh [OUT]  (default /tmp/tpu_queue9_results.txt)
+set -u
+cd "$(dirname "$0")/.."
+OUT=${1:-/tmp/tpu_queue9_results.txt}
+: > "$OUT"
+DATA=/root/data/cue8
+WORK1=/root/data/cue9_rls_init
+WORK2=/root/data/cue9_rls_hotbb
+CACHE=/dev/shm/cue8_cache
+BB=/root/data/i96/simclr/model_best.msgpack
+mkdir -p "$WORK1" "$WORK2"
+
+leg() {
+  local name=$1 tmo=$2; shift 2
+  echo "=== $name ($(date -u +%H:%M:%S)) ===" | tee -a "$OUT"
+  timeout -k 30 "$tmo" env "$@" >> "$OUT" 2>&1
+  local rc=$?
+  echo "--- $name rc=$rc ---" | tee -a "$OUT"
+  return $rc
+}
+
+# 0. connectivity gate (first compile on a fresh box measured up to ~540 s)
+leg connectivity 600 python -c "
+import jax, jax.numpy as jnp
+print(jax.devices())
+x = jnp.ones((128,128)); print(float((x@x).sum()))
+" || { echo "TPU unreachable; aborting queue" | tee -a "$OUT"; exit 1; }
+
+# 1. corpus (regenerate if the box was recycled)
+[ -d "$DATA/train" ] || leg make_corpus 1800 python \
+    tools/make_tiny_imagefolder.py "$DATA" \
+    --classes 4 --per-class 120 --val-per-class 24 --size 640 \
+    --cue fovea-stripe
+
+# 2. leg 1: from-init (backbone path 'none' falls through in
+#    load_backbone_into_detr with a printed notice)
+leg rls_from_init 10000 python detr_image_classification_rls.py none "$DATA" \
+    --dataset imagenet --backbone ResNet18 --num-classes 4 -b 48 -f 3 \
+    --epochs 50 --lr 5e-4 --gamma 0.0 --num-of-actions 10 -dqnb 48 \
+    --canvas-cache "$CACHE" --checkpoint-dir "$WORK1" -p 4
+
+# 3. leg 2: pretrained backbone with a hot backbone lr (only if the queue6
+#    encoder survived on this box — rerun tools/tpu_run_queue6.sh otherwise)
+if [ -f "$BB" ]; then
+  leg rls_hot_backbone 10000 python detr_image_classification_rls.py "$BB" "$DATA" \
+      --dataset imagenet --backbone ResNet18 --num-classes 4 -b 48 -f 3 \
+      --epochs 50 --lr 5e-4 --lr_backbone 5e-4 --gamma 0.0 \
+      --num-of-actions 10 -dqnb 48 \
+      --canvas-cache "$CACHE" --checkpoint-dir "$WORK2" -p 4
+else
+  echo "skipping rls_hot_backbone: no $BB on this box" | tee -a "$OUT"
+fi
+
+echo "QUEUE9 DONE $(date -u)" | tee -a "$OUT"
+grep -E "##Top-1|##Policy Top-1|##Best" "$OUT" | tail -90
