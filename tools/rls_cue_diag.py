@@ -33,6 +33,12 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
+
+# the TPU platform plugin overrides the JAX_PLATFORMS env var (it left the
+# first run of this script blocked in a mixed platform state); honor an
+# explicit cpu request the way tools/bn_stat_bench.py does
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
