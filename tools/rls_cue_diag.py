@@ -168,13 +168,21 @@ def main(argv=None):
             print("VERDICT: neither arm learns at this budget — rerun with "
                   "more steps or bigger batch before concluding")
     elif b:
-        # single-arm mode: queue8 (500 updates, flat) is the pretrained arm
-        print("VERDICT: " + (
-            "backbone confirmed — from-init learns where queue8's "
-            "pretrained-frozen run stayed flat"
-            if b[1] - b[0] < -0.05 else
-            "from-init ALSO flat at this budget — the backbone is not the "
-            "(only) explanation; rerun with more steps before concluding"))
+        # single-arm mode: queue8 (500 updates, flat) is the pretrained arm.
+        # The decisive signal is CE BELOW the uniform-prior floor ln(C) —
+        # a from-init delta alone includes the trivial collapse from random
+        # init to the prior (the first TPU run of this arm fell 3.68 → 1.43
+        # vs floor 1.386: descending, but not yet evidence of learning).
+        floor = float(np.log(cfg.num_classes))
+        if b[1] < floor - 0.05:
+            print(f"VERDICT: backbone confirmed — from-init crosses below "
+                  f"the ln({cfg.num_classes})={floor:.3f} floor where "
+                  f"queue8's pretrained-frozen run stayed flat")
+        else:
+            print(f"VERDICT: from-init reached {b[1]:.4f} vs floor "
+                  f"{floor:.3f} — descended to the prior but not below it; "
+                  f"inconclusive at this step budget, rerun longer "
+                  f"(queue9 leg 1 is the 500-update version)")
 
 
 if __name__ == "__main__":
