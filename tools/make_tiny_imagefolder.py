@@ -85,6 +85,21 @@ def fovea_stripe_image(c: int, ncls: int, inst: int, size: int,
                             frac0=0.84375, frac1=0.9375)
 
 
+def wide_stripe_image(c: int, ncls: int, inst: int, size: int,
+                      rng: np.random.RandomState) -> np.ndarray:
+    """``cue_stripe_image`` with a 2× wider stripe, x ∈ [0.75, 0.9375)
+    ([480, 600) at 640px): same A=10-foveatable right edge as fovea-stripe,
+    but ~9 px instead of ~4.5 px wide in the coarsest 30 px glimpse and
+    visible to the coarse window for fix_x > 0.33 (~67% of random
+    fixations vs ~42%). The queue8/part-7 postmortems (PARITY.md) found
+    CE stuck at the ln(4) floor from-init too, pointing at raw cue signal
+    strength rather than the backbone — this is the signal-strength knob
+    while still leaving headroom for a learned fix → 0.9 policy to add
+    foveal detail."""
+    return cue_stripe_image(c, ncls, inst, size, rng,
+                            frac0=0.75, frac1=0.9375)
+
+
 def main():
     from PIL import Image
 
@@ -95,15 +110,18 @@ def main():
     ap.add_argument("--val-per-class", type=int, default=16)
     ap.add_argument("--size", type=int, default=640)
     ap.add_argument("--seed", type=int, default=0)
-    ap.add_argument("--cue", choices=["none", "right-stripe", "fovea-stripe"],
+    ap.add_argument("--cue", choices=["none", "right-stripe", "fovea-stripe",
+                                      "wide-stripe"],
                     default="none",
                     help="location-cued family for the RLS learned-saccade "
                          "evidence run (class hue only in a vertical stripe; "
                          "fovea-stripe centers it on the A=10 grid's max "
-                         "fixation fovea)")
+                         "fixation fovea; wide-stripe doubles its width for "
+                         "signal strength)")
     args = ap.parse_args()
     gen = {"right-stripe": cue_stripe_image,
            "fovea-stripe": fovea_stripe_image,
+           "wide-stripe": wide_stripe_image,
            "none": class_image}[args.cue]
 
     jobs = []
