@@ -226,6 +226,15 @@ def add_args_from_dataclass(parser: argparse.ArgumentParser, cls) -> None:
         elif action == "store_true":
             parser.add_argument(*names, dest=f.name, action="store_true",
                                 default=f.default, **kwargs)
+            if f.default:
+                # a store_true flag that defaults on is otherwise impossible
+                # to turn off from the CLI (e.g. --bf16): pair every long
+                # name with a --no-X off-switch
+                off = [f"--no-{n[2:]}" for n in names if n.startswith("--")]
+                if off:
+                    parser.add_argument(*off, dest=f.name,
+                                        action="store_false",
+                                        help=f"disable {names[0]}")
         else:
             choices = meta.get("choices")
             parser.add_argument(*names, dest=f.name, type=type(f.default),

@@ -52,6 +52,18 @@ def test_rls_adds_dqn_flags():
     assert cfg.enc_layers == 6  # inherits the DETR transformer defaults
 
 
+def test_default_on_booleans_have_an_off_switch():
+    # --bf16 defaults on; without --no-bf16 the drivers could never run f32
+    # from the CLI (the knob an f32-vs-bf16 learning control needs)
+    for cls, pre in [(ContrastiveConfig, ["/data"]),
+                     (DETRConfig, ["bb.msgpack", "/data"]),
+                     (RLSConfig, ["bb.msgpack", "/data"]),
+                     (EvalConfig, ["model.msgpack", "/data"])]:
+        assert parse_into(cls, pre).bf16
+        assert not parse_into(cls, pre + ["--no-bf16"]).bf16
+        assert parse_into(cls, pre + ["--bf16"]).bf16
+
+
 def test_eval_invocation():
     cfg = parse_into(EvalConfig, [
         "model.msgpack", "/data", "--arch", "ResNet34", "-f", "4", "-e",
