@@ -47,7 +47,13 @@ mkdir -p "$WORK0" "$WORK1" "$WORK2"
 leg() {
   local name=$1 tmo=$2; shift 2
   echo "=== $name ($(date -u +%H:%M:%S)) ===" | tee -a "$OUT"
-  timeout -k 30 "$tmo" env "$@" >> "$OUT" 2>&1
+  # PYTHONUNBUFFERED: epoch lines must land in $OUT live (block-buffered
+  # stdout hid a 30-min hang entirely). sleep 60 first: attaching a new
+  # TPU client the same second the previous one exits deadlocked on a
+  # futex with zero tunnel traffic (stale client slot on the server) —
+  # observed on this box 2026-08-19; a ~60 s grace gap avoids it.
+  sleep 60
+  timeout -k 30 "$tmo" env PYTHONUNBUFFERED=1 "$@" >> "$OUT" 2>&1
   local rc=$?
   echo "--- $name rc=$rc ---" | tee -a "$OUT"
   return $rc
