@@ -42,10 +42,26 @@ def load_backbone_into_detr(variables, backbone_path):
     Cross-stage contract of ``backbone.py:199-213``: load the SimCLR
     ``state_dict``, keep only ``f`` (the projector is never used by DETR),
     with BN statistics feeding the FrozenBatchNorm buffers.
+
+    Returns ``(variables, loaded)``. ``loaded`` tells the caller whether this
+    is a pretrained run — a from-scratch run must NOT apply the reference's
+    freeze/lr_backbone param groups (they exist to protect a pretrained
+    encoder; on a random init they freeze an untrained stem — queue9
+    postmortem, PARITY.md). Pass it to
+    ``make_detr_optimizer(pretrained_backbone=...)``.
     """
     if not backbone_path or not os.path.isfile(backbone_path):
-        print(f"=> no pretrained backbone found at '{backbone_path}'")
-        return variables
+        print(f"=> no pretrained backbone found at '{backbone_path}' — "
+              f"from-scratch run (full lr on all parameters)")
+        return variables, False
+    if "backbone_f" not in variables.get("batch_stats", {}):
+        # GroupNorm backbone (--backbone-norm group): no FrozenBN buffers to
+        # fill, and the checkpoint's BN statistics have no slot — refuse the
+        # silent mismatch instead of loading weights that then miss their norm
+        raise ValueError(
+            f"--backbone-norm group cannot load the FrozenBN-layout "
+            f"checkpoint '{backbone_path}'; use --backbone-norm frozen for "
+            f"pretrained backbones")
     print(f"=> loading pretrained backbone '{backbone_path}'")
     params = jax.device_get(variables["params"])
     stats = jax.device_get(variables["batch_stats"])
@@ -83,7 +99,7 @@ def load_backbone_into_detr(variables, backbone_path):
         stats["backbone_f"] = _merge_bn_into_frozen(
             stats["backbone_f"], src_params, src_stats)
     print(f"=> loaded pretrained backbone '{backbone_path}'")
-    return {"params": params, "batch_stats": stats}
+    return {"params": params, "batch_stats": stats}, True
 
 
 def _merge_bn_into_frozen(frozen_stats, bn_params, bn_stats):
@@ -161,7 +177,7 @@ def main(argv=None):
                   retina_cfg.glimpse_size, retina_cfg.num_channels))
     s = jnp.full((2, cfg.num_fixations, 2), 0.5)
     variables = model.init(rng, g, s)
-    variables = load_backbone_into_detr(variables, cfg.backbone_path)
+    variables, pretrained = load_backbone_into_detr(variables, cfg.backbone_path)
 
     train_reader = build_reader(cfg, "train", jax.process_index(),
                                 jax.process_count(), batch_size=local_batch)
@@ -173,9 +189,10 @@ def main(argv=None):
 
     tx = detr_train.make_detr_optimizer(
         variables["params"], cfg.lr, cfg.lr_backbone, cfg.weight_decay,
-        cfg.clip_max_norm, cfg.lr_drop, steps_per_epoch)
+        cfg.clip_max_norm, cfg.lr_drop, steps_per_epoch,
+        pretrained_backbone=pretrained)
     state = TrainState.create(apply_fn=model.apply, params=variables["params"],
-                              tx=tx, batch_stats=variables["batch_stats"])
+                              tx=tx, batch_stats=variables.get("batch_stats", {}))
 
     train_step = detr_train.make_detr_train_step(
         model, criterion, mesh, retina_cfg, cfg.num_fixations)

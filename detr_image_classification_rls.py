@@ -69,7 +69,7 @@ def main(argv=None):
                   retina_cfg.glimpse_size, retina_cfg.num_channels))
     s = jnp.full((2, cfg.num_fixations, 2), 0.5)
     variables = model.init(rng, g, s)
-    variables = load_backbone_into_detr(variables, cfg.backbone_path)
+    variables, pretrained = load_backbone_into_detr(variables, cfg.backbone_path)
 
     # policy + target DQNs (RLS :417-427)
     dqn = build_dqn(arch=cfg.dqn, num_of_actions=cfg.num_of_actions,
@@ -102,9 +102,10 @@ def main(argv=None):
 
     tx = detr_train.make_detr_optimizer(
         variables["params"], cfg.lr, cfg.lr_backbone, cfg.weight_decay,
-        cfg.clip_max_norm, cfg.lr_drop, steps_per_epoch)
+        cfg.clip_max_norm, cfg.lr_drop, steps_per_epoch,
+        pretrained_backbone=pretrained)
     state = TrainState.create(apply_fn=model.apply, params=variables["params"],
-                              tx=tx, batch_stats=variables["batch_stats"])
+                              tx=tx, batch_stats=variables.get("batch_stats", {}))
 
     train_step = rls_train.make_rls_train_step(
         model, criterion, dqn, mesh, retina_cfg, cfg.num_fixations,

@@ -188,6 +188,15 @@ class DETRConfig:
     canvas_cache: str = _flag("--canvas-cache", default="",
                               help="decode-once raw-canvas cache directory "
                                    "(epoch 1 decodes, later epochs stream)")
+    backbone_norm: str = _flag("--backbone-norm", default="frozen",
+                               choices=["frozen", "group"],
+                               help="backbone norm: 'frozen' = the reference's"
+                                    " FrozenBatchNorm2d (backbone.py:151; its"
+                                    " statistics come from a pretrained"
+                                    " checkpoint); 'group' = GroupNorm for"
+                                    " FROM-SCRATCH runs — stats-less FrozenBN"
+                                    " on a random init normalizes nothing"
+                                    " (round-4 queue9 postmortem, PARITY.md)")
 
 
 @dataclass

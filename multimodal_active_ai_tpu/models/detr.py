@@ -124,6 +124,7 @@ def build(cfg, num_classes: int | None = None, dtype: Any = jnp.float32):
         dropout=cfg.dropout,
         pre_norm=cfg.pre_norm,
         position_embedding=cfg.position_embedding,
+        backbone_norm=getattr(cfg, "backbone_norm", "frozen"),
         dtype=dtype,
     )
     criterion = SetCriterion(num_queries=cfg.num_queries, num_classes=num_classes)

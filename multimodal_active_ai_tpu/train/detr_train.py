@@ -45,8 +45,18 @@ def detr_param_labels(params: dict) -> dict:
 
 
 def make_detr_optimizer(params, lr, lr_backbone, weight_decay, clip_max_norm,
-                        lr_drop_epochs: int, steps_per_epoch: int):
-    """AdamW param groups + StepLR(γ=0.1 @ lr_drop) + grad clip."""
+                        lr_drop_epochs: int, steps_per_epoch: int,
+                        pretrained_backbone: bool = True):
+    """AdamW param groups + StepLR(γ=0.1 @ lr_drop) + grad clip.
+
+    ``pretrained_backbone=False`` (a from-scratch run: ``load_backbone_into_detr``
+    found no checkpoint) labels EVERY parameter ``head`` — full ``lr``
+    everywhere. The reference's freeze rule (``backbone.py:78-80``) and
+    lr_backbone group (``DETR_Image_Classification.py:385-394``) exist to
+    protect a *pretrained* encoder; applying them to a random init freezes an
+    untrained stem at zero lr and pins the whole model at the uniform-prior
+    loss floor (round-4 queue9 postmortem, PARITY.md).
+    """
 
     def stepped(base):
         def sched(step):
@@ -54,7 +64,10 @@ def make_detr_optimizer(params, lr, lr_backbone, weight_decay, clip_max_norm,
             return base * jnp.power(0.1, epoch // lr_drop_epochs)
         return sched
 
-    labels = detr_param_labels(params)
+    if pretrained_backbone:
+        labels = detr_param_labels(params)
+    else:
+        labels = jax.tree_util.tree_map(lambda _: "head", params)
     tx = optax.multi_transform(
         {
             "head": optax.adamw(stepped(lr), weight_decay=weight_decay),

@@ -120,6 +120,56 @@ def test_detr_optimizer_freezes_stem(tiny_detr, rng):
     assert np.abs(np.asarray(head_update)).max() > 0
 
 
+def test_detr_optimizer_from_init_trains_everything(tiny_detr):
+    """pretrained_backbone=False labels EVERY param 'head' — the queue9
+    postmortem fix: from-scratch runs must not freeze a random-init stem."""
+    cfg, model, criterion, variables = tiny_detr
+    tx = detr_train.make_detr_optimizer(variables["params"], 1e-3, 1e-4,
+                                        1e-4, 0.1, 200, 100,
+                                        pretrained_backbone=False)
+    state = tx.init(variables["params"])
+    grads = jax.tree.map(jnp.ones_like, variables["params"])
+    updates, _ = tx.update(grads, state, variables["params"])
+    stem_update = updates["backbone_f"]["conv1"]["kernel"]
+    assert np.abs(np.asarray(stem_update)).max() > 0
+    # and every leaf moves (nothing silently left in a zero partition)
+    assert all(np.abs(np.asarray(u)).max() > 0 for u in jax.tree.leaves(updates))
+
+
+def test_group_norm_backbone_builds_and_steps(rng):
+    """--backbone-norm group: a from-scratch backbone with real normalization
+    (stats-less FrozenBN on a random init normalizes nothing)."""
+    cfg = DETRConfig(enc_layers=1, dec_layers=1, hidden_dim=64, nheads=4,
+                     dim_feedforward=128, num_queries=4, dataset="imagenet",
+                     backbone_norm="group")
+    model, criterion = detr_models.build(cfg, num_classes=10)
+    g = jax.random.uniform(rng, (2, 3, 30, 30, 12))
+    s = jnp.full((2, 3, 2), 0.5)
+    variables = model.init(rng, g, s)
+    # GroupNorm carries no running statistics
+    assert "backbone_f" not in variables.get("batch_stats", {})
+    out = model.apply({"params": variables["params"],
+                       "batch_stats": variables.get("batch_stats", {})}, g, s)
+    assert np.isfinite(np.asarray(out["pred_logits"])).all()
+
+
+def test_load_backbone_flag_and_group_norm_guard(tmp_path, tiny_detr):
+    from detr_image_classification import load_backbone_into_detr
+
+    cfg, model, criterion, variables = tiny_detr
+    out, loaded = load_backbone_into_detr(variables, "")
+    assert loaded is False and out is variables
+    out, loaded = load_backbone_into_detr(variables, str(tmp_path / "nope"))
+    assert loaded is False
+    # a group-norm model (no FrozenBN buffers) must refuse a checkpoint
+    # rather than load weights whose normalization it cannot represent
+    f = tmp_path / "bb.msgpack"
+    f.write_bytes(b"x")
+    gn_vars = {"params": variables["params"], "batch_stats": {}}
+    with pytest.raises(ValueError, match="backbone-norm group"):
+        load_backbone_into_detr(gn_vars, str(f))
+
+
 def test_collect_glimpse_sequence(rng):
     cfg = retina.RetinaConfig(canvas_size=64, crop_sizes=(40, 24, 10, 30),
                               supersample=1)

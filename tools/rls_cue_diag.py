@@ -67,7 +67,7 @@ def run_arm(name, cfg, load_backbone, steps):
     s = jnp.full((2, cfg.num_fixations, 2), 0.5)
     variables = model.init(rng, g, s)
     if load_backbone:
-        variables = load_backbone_into_detr(variables, cfg.backbone_path)
+        variables, _ = load_backbone_into_detr(variables, cfg.backbone_path)
 
     dqn = build_dqn(arch=cfg.dqn, num_of_actions=cfg.num_of_actions,
                     norm_kind="bn", axis_name=None, dtype=jnp.float32)
@@ -82,10 +82,11 @@ def run_arm(name, cfg, load_backbone, steps):
         reader.shuffle = True
     tx = detr_train.make_detr_optimizer(
         variables["params"], cfg.lr, cfg.lr_backbone, cfg.weight_decay,
-        cfg.clip_max_norm, cfg.lr_drop, len(reader))
+        cfg.clip_max_norm, cfg.lr_drop, len(reader),
+        pretrained_backbone=load_backbone)
     state = TrainState.create(apply_fn=model.apply,
                               params=variables["params"], tx=tx,
-                              batch_stats=variables["batch_stats"])
+                              batch_stats=variables.get("batch_stats", {}))
     # eps pinned to 1.0: every fixation random — the exploration-phase
     # regime both TPU attempts spent their first epochs in
     train_step = rls_train.make_rls_train_step(
