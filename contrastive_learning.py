@@ -71,7 +71,11 @@ def build_reader(cfg: ContrastiveConfig, split: str, shard_id: int, num_shards: 
             n = max(n // 10, bs)
         # decorrelate shards: each process must contribute DISTINCT rows of
         # the global batch, like the file readers' contiguous catalog shards
+        # labels must live in the classifier's range: DETR/RLS/probe configs
+        # carry num_classes (defaulting it to 1000 here fed 1000-way labels
+        # to e.g. a --num-classes 4 criterion -> NaN cross-entropy)
         return SyntheticReader(bs, cfg.canvas_size, num_examples=n,
+                               num_classes=getattr(cfg, "num_classes", 1000),
                                seed=cfg.seed + (0 if split == "train" else 1)
                                + 7919 * shard_id)
     if cfg.dataset == "mscoco":

@@ -118,6 +118,20 @@ def test_synthetic_reader():
     np.testing.assert_array_equal(np.asarray(images), np.asarray(images2))
 
 
+def test_build_reader_synthetic_respects_num_classes():
+    """Synthetic labels must live in the configured classifier's range:
+    defaulting to 1000-way labels under a --num-classes 4 criterion fed
+    out-of-range targets to the cross-entropy -> NaN loss (regression)."""
+    from contrastive_learning import build_reader
+    from multimodal_active_ai_tpu.config import DETRConfig
+
+    cfg = DETRConfig(dataset="synthetic", canvas_size=16, num_classes=4,
+                     num_examples=8)
+    reader = build_reader(cfg, "train", 0, 1, batch_size=4)
+    labels = np.concatenate([np.asarray(l) for _, l in iter(reader)])
+    assert labels.max() < 4 and labels.min() >= 0
+
+
 def test_synthetic_reader_reset_replays_epoch():
     r = SyntheticReader(batch_size=2, canvas_size=16, num_examples=4, seed=3)
     first = [np.asarray(img) for img, _ in iter(r)]
