@@ -71,8 +71,13 @@ def resize_with_filter(img: jnp.ndarray, out_hw: tuple[int, int]) -> jnp.ndarray
     h, w, c = img.shape
     oh, ow = out_hw
     scale = jnp.array([oh / h, ow / w], dtype=jnp.float32)
-    # half-pixel centers: translation chosen so src = (dst + .5)/scale - .5
-    translation = 0.5 * (scale - 1.0)
+    # translation 0: scale_and_translate already uses half-pixel-center
+    # sampling (src = (dst+.5)/scale - .5, the jax.image.resize convention).
+    # An extra 0.5*(scale-1) term here double-counted that and phase-shifted
+    # every downscale by .5*(1-scale) output px (~6 src px at 400->30) —
+    # found by the round-5 PIL golden fixture (tools/make_dali_golden.py);
+    # invisible to the 64-canvas internal tests where scale is near 1.
+    translation = jnp.zeros((2,), jnp.float32)
     return jax.image.scale_and_translate(
         img, (oh, ow, c), (0, 1), scale, translation, method="linear", antialias=True)
 
@@ -90,8 +95,10 @@ def crop_resize_with_filter(img: jnp.ndarray, origin_yx: jnp.ndarray,
     ch, cw = crop_hw
     oh, ow = out_hw
     scale = jnp.array([oh / ch, ow / cw], dtype=jnp.float32)
-    # src = origin + (dst + .5) * (crop/out) - .5  ⇒  dst = (src - origin + .5)*scale - .5
-    translation = 0.5 * (scale - 1.0) - origin_yx * scale
+    # src = origin + (dst + .5)/scale - .5: scale_and_translate's zero-
+    # translation mapping is already the half-pixel-center convention (see
+    # resize_with_filter), so only the crop origin shifts the sampling
+    translation = -origin_yx * scale
     return jax.image.scale_and_translate(
         img, (oh, ow, c), (0, 1), scale, translation, method="linear", antialias=True)
 
@@ -180,6 +187,14 @@ def grid_mask_keep(coords_yx: jnp.ndarray, angle_deg: jnp.ndarray,
     side ``ratio * tile`` with period ``tile``, rotated by ``angle`` and
     shifted; ``ratio == 0`` masks nothing (the reference's "off" setting,
     ``Contrastive_Learning.py:610-611``).
+
+    Shift source — exact reference parity, not a divergence: the reference
+    graph wires the FIXATION position into the shift (``shift_x=crop_pos_x,
+    shift_y=crop_pos_y`` at ``NVIDIA_DALI_Pipelines.py:460``; the
+    ``grid_mask_source`` ExternalSource has only two outputs, ratio and
+    tile, ``:440``). ``crop_pos`` is a normalized [0,1) float that DALI
+    interprets in pixel units, so the effective shift is ≤1 px there and
+    here alike — callers pass ``p.fix_yx`` for the same reason.
     """
     theta = jnp.deg2rad(angle_deg)
     cos = jnp.cos(theta)

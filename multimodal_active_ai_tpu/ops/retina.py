@@ -248,7 +248,7 @@ def _fused_single(img: jnp.ndarray, p: AugParams, noise_key: jax.Array,
         # grid-mask keep factor, evaluated in pre-flip canvas coordinates
         keep = image_ops.grid_mask_keep(coords, p.angle, p.fix_yx, p.gm_ratio, p.gm_tile)
         # inverse rotation into the RRC output canvas
-        a = image_ops.rotate_coords(coords, -p.angle, center)
+        a = image_ops.rotate_coords(coords, p.angle, center)
         oob = jnp.logical_or(
             jnp.any(a < -0.5, axis=-1),
             jnp.any(a > c - 0.5, axis=-1))
@@ -365,7 +365,7 @@ def _matmul_level_plan(p: AugParams, cfg: RetinaConfig, crop_size: int,
     coords = jnp.stack([yy, x_f], axis=-1)
     keep = image_ops.grid_mask_keep(coords, p.angle, p.fix_yx, p.gm_ratio,
                                     p.gm_tile)
-    a = image_ops.rotate_coords(coords, -p.angle, center)
+    a = image_ops.rotate_coords(coords, p.angle, center)
     oob = jnp.logical_or(jnp.any(a < -0.5, -1), jnp.any(a > c - 0.5, -1))
     s = p.rrc_origin_yx + (a + 0.5) * (p.rrc_size_hw / c) - 0.5  # (g,g,2)
     sm = (s + 0.5) / factor - 0.5 if factor > 1 else s  # mip coords
@@ -464,8 +464,11 @@ def _canvas_single(img: jnp.ndarray, p: AugParams, noise_key: jax.Array,
                           jnp.arange(c, dtype=jnp.float32), indexing="ij")
     grid = jnp.stack([gy, gx], -1)  # (c, c, 2) canvas-R coords
 
-    # rotate (inverse warp) then RRC back into the source
-    a = image_ops.rotate_coords(grid, -p.angle, center)
+    # rotate (inverse warp; rotate_coords IS the inverse map of a CCW
+    # rotation — negating here double-inverted and spun the canvas CW for
+    # positive angles, caught by the round-5 PIL golden fixture) then RRC
+    # back into the source
+    a = image_ops.rotate_coords(grid, p.angle, center)
     oob = jnp.logical_or(jnp.any(a < -0.5, -1), jnp.any(a > c - 0.5, -1))
     s = p.rrc_origin_yx + (a + 0.5) * (p.rrc_size_hw / c) - 0.5
     canvas = image_ops.bilinear_sample(img, s, fill_value=0.0, fill_mask=oob)
@@ -586,7 +589,7 @@ def foveated_pyramid(image: jnp.ndarray, fix_yx: jnp.ndarray, angle: jnp.ndarray
     gy, gx = jnp.meshgrid(jnp.arange(c, dtype=jnp.float32),
                           jnp.arange(c, dtype=jnp.float32), indexing="ij")
     grid = jnp.stack([gy, gx], -1)
-    a = image_ops.rotate_coords(grid, -angle, center)
+    a = image_ops.rotate_coords(grid, angle, center)
     oob = jnp.logical_or(jnp.any(a < -0.5, -1), jnp.any(a > c - 0.5, -1))
     canvas = image_ops.bilinear_sample(img, a, fill_value=0.0, fill_mask=oob)
     crops, resizes = [], []
