@@ -33,6 +33,97 @@ def _tiny_detr():
                 dim_feedforward=64, dropout=0.0)
 
 
+def _mesh_n(n):
+    from multimodal_active_ai_tpu.parallel.mesh import create_mesh
+
+    return create_mesh(data=n, model=1, devices=jax.devices()[:n])
+
+
+@pytest.mark.slow
+def test_simclr_step_sharded_matches_single_device(rng):
+    """GSPMD-correctness, not just runs-sharded: the SAME seed and SAME
+    global batch produce the same per-fixation losses and updated params on
+    a 1-device mesh (plain jit) and a sharded multi-device mesh — i.e. the
+    XLA-inserted gradient all-reduce, global-BN-stat reduction and NT-Xent
+    negative exchange reproduce the single-replica math
+    (``SimCLR/Objective.py:102-114`` + SyncBN semantics)."""
+    import optax
+    from multimodal_active_ai_tpu.models import SimCLRModule
+    from multimodal_active_ai_tpu.train import simclr_train
+
+    results = []
+    for n in (1, 4):
+        model = SimCLRModule(arch="ResNet18", axis_name=None, norm_kind="bn")
+        # SGD, not Adam: Adam's m/sqrt(v) normalization amplifies fp-level
+        # cross-mesh loss differences into lr-scale param differences; SGD
+        # keeps the param delta proportional to the gradient delta
+        state = simclr_train.create_train_state(
+            model, optax.sgd(0.05), rng, jnp.ones((2, 30, 30, 12)))
+        # ONE fixation: the compared params then sit exactly one SGD update
+        # from the shared init, so their difference is lr × the cross-mesh
+        # gradient fp noise (~1e-6). A second chained update re-linearizes
+        # at perturbed params + perturbed BN stats and amplifies that noise
+        # ~1000× (measured 1e-3 abs on zero-init biases) without any
+        # sharding bug — one update is the clean equivalence statement.
+        step = simclr_train.make_train_step(model, _mesh_n(n), CFG,
+                                            num_fixations=1, temperature=0.5,
+                                            donate=False)
+        images = (jax.random.uniform(rng, (4, 64, 64, 3)) * 255
+                  ).astype(jnp.uint8)
+        state, m = step(state, images, jax.random.PRNGKey(7))
+        results.append((np.asarray(jax.device_get(m["losses"])),
+                        jax.device_get(state.params)))
+    (l1, p1), (ln, pn) = results
+    # tolerance: fixation-2's loss sits downstream of an SGD update, which
+    # amplifies cross-mesh reduction-order fp noise ~100x (measured 2.6e-4
+    # rel); a real sharding bug (wrong BN stats, missing grad sync) shows
+    # up at percent level
+    np.testing.assert_allclose(l1, ln, rtol=1e-3, atol=2e-5)
+    # atol 2e-4: measured cross-mesh conv-grad fp noise leaves ~0.06% of
+    # elements near 1e-4 after the lr=0.05 update; a missing grad sync or
+    # per-shard BN stats shows up 2-3 orders of magnitude above this
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(pn)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=2e-4)
+
+
+@pytest.mark.slow
+def test_detr_step_sharded_matches_single_device(rng):
+    """Same equivalence for the DETR classifier step (grad all-reduce +
+    ``num_preds`` normalization, ``detr_CLA/models/detr.py:137-141``)."""
+    from multimodal_active_ai_tpu.objectives.set_criterion import SetCriterion
+    from multimodal_active_ai_tpu.train import detr_train
+    from multimodal_active_ai_tpu.train.simclr_train import TrainState
+
+    import optax
+
+    results = []
+    for n in (1, 4):
+        model = _tiny_detr()
+        criterion = SetCriterion(num_queries=4, num_classes=10)
+        variables = model.init(rng, jnp.ones((2, 2, 30, 30, 12)),
+                               jnp.full((2, 2, 2), 0.5))
+        # SGD for the same fp-noise-amplification reason as the SimCLR
+        # equivalence test (the optimizer is not what this test certifies)
+        state = TrainState.create(apply_fn=model.apply,
+                                  params=variables["params"],
+                                  tx=optax.sgd(0.05),
+                                  batch_stats=variables["batch_stats"])
+        step = detr_train.make_detr_train_step(model, criterion, _mesh_n(n),
+                                               CFG, 2)
+        images = (jax.random.uniform(rng, (4, 64, 64, 3)) * 255
+                  ).astype(jnp.uint8)
+        labels = jnp.array([1, 2, 3, 4], jnp.int32)
+        state, m = step(state, images, labels, jax.random.PRNGKey(9))
+        results.append((float(jax.device_get(m["loss_ce"])),
+                        jax.device_get(state.params)))
+    (l1, p1), (ln, pn) = results
+    np.testing.assert_allclose(l1, ln, rtol=1e-3, atol=2e-5)
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(pn)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=5e-5)
+
+
 @pytest.mark.slow
 def test_probe_train_step_on_mesh(mesh2, rng):
     import optax
