@@ -15,7 +15,10 @@ import dataclasses
 from dataclasses import dataclass, field, fields
 
 
-MODEL_NAMES = ["ResNet18", "ResNet34", "ResNet50", "ResNet101", "ResNet152"]
+# ResNet10 is a TPU-framework extension (CI/dryrun compile-budget arch);
+# ResNet18..152 mirror the reference's choices (Contrastive_Learning.py:238)
+MODEL_NAMES = ["ResNet10", "ResNet18", "ResNet34", "ResNet50", "ResNet101",
+               "ResNet152"]
 DATASETS = ["mscoco", "imagenet", "synthetic"]
 OPTIMIZERS = ["sgd", "adam", "lars"]
 
@@ -76,9 +79,10 @@ class ContrastiveConfig:
                                    "(epoch 1 decodes, later epochs stream)")
     unroll_fixations: int = _flag("--unroll-fixations", default=0,
                                   help="fixation-loop unroll: 0 auto "
-                                       "(scan on TPU, unrolled on CPU), "
-                                       "-1 full unroll, n>1 scan unroll=n "
-                                       "(n=5 benched +3% at ~2x compile)")
+                                       "(scan unroll=5 on TPU — the benched "
+                                       "default; unrolled on CPU), "
+                                       "-1 full unroll, 1 plain scan, "
+                                       "n>1 scan unroll=n")
     device_prefetch: int = _flag("--device-prefetch", default=2,
                                  help="host->device transfers issued ahead "
                                       "of the step (0 = synchronous put; "

@@ -182,7 +182,11 @@ def _factory(block, layers, **defaults):
     return build
 
 
-# Factories mirror reference resnet.py:256-343
+# Factories mirror reference resnet.py:256-343. ResNet10 (one BasicBlock
+# per stage) is a TPU-framework extension with no reference counterpart:
+# a compile-budget arch for CI and the multichip dryrun on virtual CPU
+# devices, where ResNet18's conv count dominates wall time.
+resnet10 = _factory(BasicBlock, (1, 1, 1, 1))
 resnet18 = _factory(BasicBlock, (2, 2, 2, 2))
 resnet34 = _factory(BasicBlock, (3, 4, 6, 3))
 resnet50 = _factory(Bottleneck, (3, 4, 6, 3))
@@ -194,6 +198,7 @@ wide_resnet50_2 = _factory(Bottleneck, (3, 4, 6, 3), width_per_group=128)
 wide_resnet101_2 = _factory(Bottleneck, (3, 4, 23, 3), width_per_group=128)
 
 _ARCHS = {
+    "ResNet10": (resnet10, 512),
     "ResNet18": (resnet18, 512),
     "ResNet34": (resnet34, 512),
     "ResNet50": (resnet50, 2048),
