@@ -101,10 +101,14 @@ def make_train_step(model, mesh, retina_cfg: retina.RetinaConfig,
         compile growth bounded (unavailable relief on CPU, where the scan
         primitive itself carries the pathology).
       * ``False`` — plain ``lax.scan``.
-      * ``None`` (default) — auto: Python loop on CPU, plain scan on TPU.
+      * ``None`` (default) — auto: Python loop on CPU; ``lax.scan(unroll=5)``
+        on TPU — the measured-best flagship configuration (8,767 vs 8,500
+        img/s/chip for the plain scan, PERF.md round 3), so a production
+        driver run gets the benched throughput without extra flags.
     """
     if unroll is None:
-        unroll = jax.default_backend() == "cpu"
+        unroll = (True if jax.default_backend() == "cpu"
+                  else min(5, max(1, num_fixations)))
 
     def forward(params, batch_stats, glimpses, train):
         variables = {"params": params, "batch_stats": batch_stats}
