@@ -53,6 +53,13 @@ def load_backbone_into_detr(variables, backbone_path):
     if not backbone_path or not os.path.isfile(backbone_path):
         print(f"=> no pretrained backbone found at '{backbone_path}' — "
               f"from-scratch run (full lr on all parameters)")
+        if "backbone_f" in variables.get("batch_stats", {}):
+            # stats-less FrozenBN on a random init is an identity transform
+            # whose weight/bias buffers never train — the queue9 failure mode
+            print("=> WARNING: from-scratch run with --backbone-norm frozen: "
+                  "FrozenBatchNorm carries init statistics (identity, "
+                  "untrainable); strongly consider --backbone-norm group "
+                  "for from-scratch training (PARITY.md queue9 postmortem)")
         return variables, False
     if "backbone_f" not in variables.get("batch_stats", {}):
         # GroupNorm backbone (--backbone-norm group): no FrozenBN buffers to

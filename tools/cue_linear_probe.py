@@ -44,7 +44,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
-if os.environ.get("JAX_PLATFORMS") == "cpu":
+# Default this diagnostic to CPU (its documented mode). The TPU platform
+# plugin in this image overrides the JAX_PLATFORMS env var, so the config
+# update is required even when the env var IS set to cpu; when it is unset
+# we also default to cpu rather than grabbing the (exclusive) TPU client.
+if os.environ.get("JAX_PLATFORMS", "cpu") == "cpu":
     jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp
 import numpy as np
@@ -141,7 +145,13 @@ def main(argv=None):
     def pop(flag, default, cast):
         if flag in argv:
             i = argv.index(flag)
-            v = cast(argv[i + 1])
+            if i + 1 >= len(argv):
+                sys.exit(f"cue_linear_probe: {flag} requires a value")
+            try:
+                v = cast(argv[i + 1])
+            except ValueError:
+                sys.exit(f"cue_linear_probe: invalid value for {flag}: "
+                         f"{argv[i + 1]!r} (expected {cast.__name__})")
             del argv[i:i + 2]
             return v
         return default
@@ -149,8 +159,10 @@ def main(argv=None):
     fixations = pop("--fixations", 3, int)
     probe_steps = pop("--probe-steps", 400, int)
     oracle_fix = pop("--oracle-fix", 0.9, float)
-    cfg = parse_into(RLSConfig, argv + ["--dataset", "imagenet",
-                                        "--num-classes", "4"],
+    # defaults PREPENDED so user-supplied --dataset/--num-classes win
+    # (argparse last-wins; appending silently overrode them to imagenet/4)
+    cfg = parse_into(RLSConfig, ["--dataset", "imagenet",
+                                 "--num-classes", "4"] + argv,
                      prog="cue_linear_probe")
     retina_cfg = retina.RetinaConfig(canvas_size=cfg.canvas_size)
     chance = 1.0 / cfg.num_classes
