@@ -207,13 +207,23 @@ def _retina_cfg_for(canvas: int):
 
 def _timed_windows(run_one, block_on, steps: int, n_keys_extra: int = 1):
     """Warmup + N timing windows over ``run_one(key_i)``; returns
-    (window wall times, total per-window work units multiplier)."""
+    (window wall times, total per-window work units multiplier).
+
+    ``BENCH_TRACE=<dir>``: additionally capture a ``jax.profiler`` trace of
+    the FIRST timing window into that directory, so one TPU client yields
+    both the throughput artifact and the per-op device-time breakdown
+    (summarize with ``tools/profile_step.py --summarize <dir> --steps N``
+    — wall timing alone lies through the tunnel; see PERF.md)."""
     windows = _num_windows()
+    trace_dir = os.environ.get("BENCH_TRACE")
     keys = jax.device_get(jax.random.split(jax.random.PRNGKey(1),
                                            windows * steps + n_keys_extra))
     block_on(run_one(keys[0]))           # warmup/compile
     window_dts, ki = [], 1
-    for _ in range(windows):
+    for w in range(windows):
+        if trace_dir and w == 0:
+            os.system(f"rm -rf {trace_dir}")
+            jax.profiler.start_trace(trace_dir)
         t0 = perf_counter()
         out = None
         for _ in range(steps):
@@ -221,6 +231,10 @@ def _timed_windows(run_one, block_on, steps: int, n_keys_extra: int = 1):
             ki += 1
         block_on(out)
         window_dts.append(perf_counter() - t0)
+        if trace_dir and w == 0:
+            jax.profiler.stop_trace()
+            print(f"# trace of window 1 written to {trace_dir}",
+                  file=sys.stderr)
     return window_dts
 
 

@@ -101,7 +101,14 @@ def main():
     ap.add_argument("--canvas", type=int, default=640)
     ap.add_argument("--arch", default="ResNet50")
     ap.add_argument("--top", type=int, default=40)
+    ap.add_argument("--summarize", default=None, metavar="TRACE_DIR",
+                    help="skip running: summarize an existing trace (e.g. "
+                         "one captured by bench.py with BENCH_TRACE=<dir> "
+                         "for the captions/rls/probe modes)")
     args = ap.parse_args()
+    if args.summarize:
+        summarize(args.summarize, args.steps, args.top)
+        return
     trace_dir = run(args.steps, args.batch, args.fixations, args.canvas,
                     args.arch)
     summarize(trace_dir, args.steps, args.top)
