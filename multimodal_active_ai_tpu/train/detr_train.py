@@ -94,21 +94,38 @@ def collect_glimpse_sequence(images, key, retina_cfg: retina.RetinaConfig,
     k_n, k_s = jax.random.split(key)
     num_fixs = jax.random.randint(k_n, (), min_fixations, num_fixations + 1)
     keys = jax.random.split(k_s, num_fixations)
-    pyramid = (retina.build_pyramid(images, retina_cfg)
-               if retina_cfg.mode == "matmul" else None)
 
-    def one(k):
+    def fix_for(k):
         if saccades is None:
-            fix_xy = jax.random.uniform(k, (batch, 2))
-        else:
-            fix_xy = saccades
-        # retina fixation is (y, x); saccade coords are stored (x, y)
-        p = retina.sample_labeled_params(k, batch, src, fix_yx=fix_xy[:, ::-1])
-        g = retina.apply_retina(images, p, k, retina_cfg, photometric=False,
-                                pyramid=pyramid)
-        return g, fix_xy
+            return jax.random.uniform(k, (batch, 2))
+        return saccades
 
-    glimpses, sacc = jax.lax.map(one, keys)       # (F, B, ...), (F, B, 2)
+    if retina_cfg.mode == "matmul":
+        # one retina invocation for ALL F fixations (view-major F·B param
+        # stack): no lax.map/scan stacking copies, one sampler-kernel
+        # launch — the same formulation extract_features uses (profiled
+        # rationale there)
+        pyramid = retina.build_pyramid(images, retina_cfg)
+        fixs = [fix_for(k) for k in keys]
+        per_view = [
+            # retina fixation is (y, x); saccade coords are stored (x, y)
+            retina.sample_labeled_params(k, batch, src, fix_yx=f[:, ::-1])
+            for k, f in zip(keys, fixs)]
+        params = jax.tree.map(lambda *xs: jnp.concatenate(xs, 0), *per_view)
+        g = retina.apply_retina_views(pyramid, params, keys, retina_cfg,
+                                      photometric=False)
+        glimpses = g.reshape(num_fixations, batch, *g.shape[1:])
+        sacc = jnp.stack(fixs)                    # (F, B, 2)
+    else:
+        outs = []
+        for k in keys:
+            f = fix_for(k)
+            p = retina.sample_labeled_params(k, batch, src,
+                                             fix_yx=f[:, ::-1])
+            outs.append((retina.apply_retina(images, p, k, retina_cfg,
+                                             photometric=False), f))
+        glimpses = jnp.stack([g for g, _ in outs])
+        sacc = jnp.stack([f for _, f in outs])
     glimpses = jnp.moveaxis(glimpses, 0, 1)       # (B, F, g, g, 12)
     sacc = jnp.moveaxis(sacc, 0, 1)               # (B, F, 2)
     mask = jnp.arange(num_fixations)[None, :] >= num_fixs

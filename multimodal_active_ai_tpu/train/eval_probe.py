@@ -31,22 +31,39 @@ def extract_features(encoder_model, enc_variables, images, key,
     Equivalent of the feature-collection loop at
     ``Representation_Evaluation.py:622-654`` (labeled retina: random
     fixation, zero rotation; encoder in eval mode). Returns (B, F·C·16).
+
+    TPU-first formulation: all F fixations run as ONE retina invocation
+    over the view-major ``(F·B)`` parameter stack
+    (:func:`retina.apply_retina_views`) and ONE ``F·B``-batch encoder
+    forward — the encoder is frozen (eval mode), so batching across the
+    fixation axis is exact. The earlier ``lax.map`` (scan) formulation
+    spent 24.8% of the caption-probe step in carry/stacking copies
+    (810 copies/10 steps profiled on TPU — PERF.md round 5); this form has
+    no scan and feeds the MXU ``F×`` larger convolutions.
     """
     batch = images.shape[0]
     src = images.shape[1]
     keys = jax.random.split(key, num_fixations)
-    pyramid = (retina.build_pyramid(images, retina_cfg)
-               if retina_cfg.mode == "matmul" else None)
 
-    def one_fixation(k):
-        p = retina.sample_labeled_params(k, batch, src)
-        glimpses = retina.apply_retina(images, p, k, retina_cfg,
-                                       photometric=False, pyramid=pyramid)
+    if retina_cfg.mode == "matmul":
+        pyramid = retina.build_pyramid(images, retina_cfg)
+        per_view = [retina.sample_labeled_params(k, batch, src) for k in keys]
+        params = jax.tree.map(lambda *xs: jnp.concatenate(xs, 0), *per_view)
+        glimpses = retina.apply_retina_views(pyramid, params, keys,
+                                             retina_cfg, photometric=False)
         feats = encoder_model.apply(enc_variables, glimpses, train=False,
                                     method=type(encoder_model).features)
-        return feats.reshape(batch, -1)
+        feats = feats.reshape(num_fixations, batch, -1)   # view-major stack
+    else:
+        def one_fixation(k):
+            p = retina.sample_labeled_params(k, batch, src)
+            g = retina.apply_retina(images, p, k, retina_cfg,
+                                    photometric=False)
+            f = encoder_model.apply(enc_variables, g, train=False,
+                                    method=type(encoder_model).features)
+            return f.reshape(batch, -1)
 
-    feats = jax.lax.map(one_fixation, keys)         # (F, B, C*16)
+        feats = jnp.stack([one_fixation(k) for k in keys])   # (F, B, C*16)
     return jnp.transpose(feats, (1, 0, 2)).reshape(batch, -1)
 
 

@@ -56,6 +56,14 @@ print(jax.devices())
 x = jnp.ones((128,128)); print(float((x@x).sum()))
 " || { echo "TPU unreachable; aborting queue" | tee -a "$OUT"; exit 1; }
 
+# 0b. re-bench the captions + probe paths after the batched fixation
+#     collection (extract_features/collect_glimpse_sequence now run all F
+#     fixations as ONE retina invocation + ONE F·B encoder forward; the
+#     queue11 profile showed the old lax.map spent 24.8% of the captions
+#     step in scan copies)
+leg captions_rebench 2000 env BENCH_MODE=captions python bench.py
+leg probe_rebench 2000 env BENCH_MODE=probe python bench.py
+
 # 1. big wide-stripe corpus (host-side generation, no TPU client needed,
 #    but serialized here anyway for the 1-core box)
 [ -d "$DATA_BIG/train" ] || leg make_corpus_big 3600 env JAX_PLATFORMS=cpu \
